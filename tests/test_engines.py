@@ -1,0 +1,123 @@
+"""Engine parity: megakernel oracle vs. wavefront engine.
+
+The RNG stream contract (per-(pixel,sample,bounce) streams) makes the
+engines bit-identical on the same backend — the strongest possible form
+of the BASELINE 'RMSE vs oracle' gate.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wavefront_path_tracer_tpu.renderer import Renderer, prepare_scene, render
+from wavefront_path_tracer_tpu.scene import CameraController, book_cover
+from wavefront_path_tracer_tpu.utils.config import RenderConfig
+from wavefront_path_tracer_tpu.utils.image import rmse
+
+
+def _cover_camera():
+    cc = CameraController.book_one_final()
+    cc.camera = cc.camera.look_at([-2.0, 2.0, 1.0], [0.0, 0.0, -1.0])
+    cc.vfov_deg = 20.0
+    cc.defocus_angle_deg = 0.0
+    cc.focus_distance = 3.4
+    return cc
+
+
+BASE = RenderConfig(
+    width=64, height=36, samples_per_pixel=4, samples_per_frame=4,
+    max_bounces=12, use_bvh=False, intersector="bruteforce",
+)
+
+
+def _render(scene, cc, cfg):
+    return render(scene, cc, cfg)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(book_cover_scene):
+    return _render(book_cover_scene, _cover_camera(), BASE.replace(engine="megakernel"))
+
+
+def test_oracle_image_sane(oracle_result):
+    img = oracle_result.image
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    assert 0.05 < img.mean() < 1.0  # lit scene, not black/blown out
+    # The view contains both sky-lit (bluish) and ground (yellowish,
+    # albedo 0.8/0.8/0.0 -> blue-suppressed) pixels.
+    blue_heavy = (img[..., 2] > img[..., 0] + 0.05).mean()
+    yellow_heavy = (img[..., 0] > img[..., 2] + 0.05).mean()
+    assert blue_heavy > 0.05 and yellow_heavy > 0.05
+
+
+def test_wavefront_bit_identical_to_oracle(book_cover_scene, oracle_result):
+    wf = _render(book_cover_scene, _cover_camera(), BASE.replace(engine="wavefront"))
+    np.testing.assert_array_equal(wf.accumulated, oracle_result.accumulated)
+
+
+def test_wavefront_chunked_matches(book_cover_scene, oracle_result):
+    wf = _render(
+        book_cover_scene, _cover_camera(),
+        BASE.replace(engine="wavefront", ray_chunk=512),
+    )
+    np.testing.assert_array_equal(wf.accumulated, oracle_result.accumulated)
+
+
+def test_bvh_engines_bit_identical(book_cover_scene):
+    """Same intersector => wavefront and megakernel stay bit-identical."""
+    cfg = BASE.replace(intersector="bvh", use_bvh=True)
+    mk = _render(book_cover_scene, _cover_camera(), cfg.replace(engine="megakernel"))
+    wf = _render(book_cover_scene, _cover_camera(), cfg.replace(engine="wavefront"))
+    np.testing.assert_array_equal(wf.accumulated, mk.accumulated)
+
+
+def test_bvh_vs_bruteforce_statistical(book_cover_scene):
+    """Across intersectors only float round-off separates renders; a
+    handful of near-tie paths may diverge, so compare display images
+    at noise tolerance."""
+    cfg = BASE.replace(samples_per_pixel=8, samples_per_frame=8)
+    bf = _render(book_cover_scene, _cover_camera(), cfg)
+    bv = _render(book_cover_scene, _cover_camera(),
+                 cfg.replace(intersector="bvh", use_bvh=True))
+    assert rmse(bf.image, bv.image) < 5e-3
+
+
+def test_megakernel_ray_chunking_matches(book_cover_scene, oracle_result):
+    mk = _render(
+        book_cover_scene, _cover_camera(),
+        BASE.replace(engine="megakernel", ray_chunk=256),
+    )
+    np.testing.assert_array_equal(mk.accumulated, oracle_result.accumulated)
+
+
+def test_progressive_accumulation_equals_batch(book_cover_scene):
+    cc = _cover_camera()
+    batched = _render(book_cover_scene, cc, BASE.replace(engine="wavefront"))
+    progressive = _render(
+        book_cover_scene, cc,
+        BASE.replace(engine="wavefront", samples_per_frame=1),
+    )
+    assert progressive.samples == batched.samples == 4
+    np.testing.assert_allclose(
+        progressive.accumulated, batched.accumulated, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_accumulation_restart_on_camera_change(book_cover_scene):
+    r = Renderer(book_cover_scene, _cover_camera(), BASE.replace(engine="wavefront"))
+    r.render_frame()
+    assert r.progress.accumulated_samples == 4
+    r.camera_changed()
+    assert r.progress.accumulated_samples == 0
+    assert (r._accum == 0).all()
+
+
+def test_drain_threshold_biases_but_runs(book_cover_scene, oracle_result):
+    wf = _render(
+        book_cover_scene, _cover_camera(),
+        BASE.replace(engine="wavefront", drain_threshold=64),
+    )
+    assert np.isfinite(wf.accumulated).all()
+    # Early drain loses energy relative to exact termination.
+    assert wf.accumulated.sum() <= oracle_result.accumulated.sum() + 1e-3

@@ -1,0 +1,121 @@
+"""Megakernel oracle integrator.
+
+The straight-line per-pixel path tracer the reference never finished
+(its ``cpu_wavefront_pt`` crate is an empty stub): every pixel carries
+its own ray through a masked bounce loop with no queues and no
+compaction.  This is the *golden oracle* — simple enough to trust,
+jittable on CPU and TPU — that the wavefront and fused engines are
+validated against (SURVEY.md §4).
+
+Structure per bounce (mirrors the reference kernel split semantics):
+ray gen (K1) -> intersect (K2) -> shade hits (K3) / sky misses (K4),
+with radiance = throughput * sky on miss and 0 for rays still alive at
+the bounce cap (exact termination; the reference's lossy early-drain
+break is SURVEY.md §8 bug 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from wavefront_path_tracer_tpu.ops import rng
+from wavefront_path_tracer_tpu.ops.bsdf import scatter
+from wavefront_path_tracer_tpu.ops.intersect import intersect_bruteforce, sky_color
+from wavefront_path_tracer_tpu.ops.raygen import generate_rays
+from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+
+def _intersect(origin, direction, scene_arrays, config: RenderConfig):
+    if config.intersector == "bvh":
+        from wavefront_path_tracer_tpu.ops.bvh_traverse import intersect_bvh
+
+        return intersect_bvh(
+            origin, direction,
+            scene_arrays["centers"], scene_arrays["radii"],
+            scene_arrays["bvh_min"], scene_arrays["bvh_max"],
+            scene_arrays["bvh_left_first"], scene_arrays["bvh_prim_count"],
+        )
+    return intersect_bruteforce(
+        origin, direction, scene_arrays["centers"], scene_arrays["radii"],
+        sphere_chunk=min(config.sphere_chunk, scene_arrays["centers"].shape[0]),
+    )
+
+
+def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
+                 config: RenderConfig, frame, sample):
+    """Trace one sample for a batch of pixels; returns (N, 3) radiance."""
+    origin, direction = generate_rays(
+        pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
+    )
+    n = pixel_idx.shape[0]
+    throughput = jnp.ones((n, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    def cond(state):
+        bounce, _, _, _, _, alive = state
+        return (bounce < config.max_bounces) & jnp.any(alive)
+
+    def body(state):
+        bounce, origin, direction, throughput, radiance, alive = state
+        t, sphere_idx, hit = _intersect(origin, direction, scene_arrays, config)
+
+        # Miss: terminal sky contribution (K4 semantics).
+        missed = alive & ~hit
+        radiance = radiance + jnp.where(
+            missed[:, None], throughput * sky_color(direction), 0.0
+        )
+
+        # Hit: attenuate and scatter (K3 semantics).
+        center = scene_arrays["centers"][sphere_idx]
+        p = origin + t[:, None] * direction
+        nvec = p - center
+        normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
+        state_rng = rng.stream_state(pixel_idx, frame, sample, bounce + 1)
+        new_dir = scatter(
+            state_rng, direction, normal,
+            scene_arrays["mat_type"][sphere_idx],
+            scene_arrays["fuzz"][sphere_idx],
+            scene_arrays["refract_idx"][sphere_idx],
+        )
+        hit_alive = alive & hit
+        throughput = jnp.where(
+            hit_alive[:, None],
+            throughput * scene_arrays["albedo"][sphere_idx],
+            throughput,
+        )
+        origin = jnp.where(hit_alive[:, None], p, origin)
+        direction = jnp.where(hit_alive[:, None], new_dir, direction)
+        return bounce + 1, origin, direction, throughput, radiance, hit_alive
+
+    state = (jnp.int32(0), origin, direction, throughput, radiance, alive)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[4]
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
+def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
+                   frame, sample_base, n_samples: int):
+    """Sum of ``n_samples`` radiance samples for the whole image; (P, 3)."""
+    num_pixels = config.num_pixels
+    chunk = config.ray_chunk or min(num_pixels, 131072)
+    pad = (-num_pixels) % chunk
+    pixel_idx = jnp.arange(num_pixels + pad, dtype=jnp.uint32)
+    chunks = pixel_idx.reshape(-1, chunk)
+
+    def one_sample(s, acc):
+        sample = sample_base + jnp.uint32(s)
+
+        def per_chunk(idx_chunk):
+            return trace_pixels(
+                idx_chunk, scene_arrays, cam, view, inv_proj, config, frame, sample
+            )
+
+        rad = jax.lax.map(per_chunk, chunks).reshape(-1, 3)
+        return acc + rad[:num_pixels]
+
+    acc = jnp.zeros((num_pixels, 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_samples, one_sample, acc)

@@ -1,0 +1,189 @@
+"""Wavefront integrator: the reference's five-kernel architecture, TPU-native.
+
+Reference architecture (``gpu_wavefront_pt/src/path_tracer.rs:279-371``):
+generate_rays -> [extend -> host counter readback -> shade + miss ->
+host counter readback -> buffer move] x bounces -> accumulate, with
+GPU atomics allocating queue slots.
+
+TPU-native re-design:
+
+* The whole bounce loop is one on-device ``lax.while_loop`` keyed on the
+  live-ray count — the reference's two *blocking host readbacks per
+  bounce* (path_tracer.rs:327-345) become zero host syncs.
+* Atomic queue appends become deterministic stable-sort compaction
+  (ops/compact.py); the extension-ray buffer move (SURVEY.md §8 quirk 6)
+  becomes an in-place permutation — no copy at all.
+* SoA fixed-capacity queues (origin, direction, throughput, pixel id)
+  keep shapes static under jit; dead lanes are masked.
+* The extend (intersection) stage optionally runs on ``ray_chunk``-sized
+  blocks so compute shrinks with the live count: only
+  ``ceil(count / chunk)`` blocks are intersected per bounce, the TPU
+  analog of sizing the dispatch from the counter readback
+  (path_tracer.rs:282-289).
+
+Termination is exact (live count == 0 or bounce cap) by default; the
+reference's lossy ``misses < 128`` drain (SURVEY.md §8 bug 2) is exposed
+as ``config.drain_threshold`` for A/B comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from wavefront_path_tracer_tpu.ops import rng
+from wavefront_path_tracer_tpu.ops.bsdf import scatter
+from wavefront_path_tracer_tpu.ops.compact import compaction_order
+from wavefront_path_tracer_tpu.ops.intersect import (
+    T_FAR,
+    intersect_bruteforce,
+    sky_color,
+)
+from wavefront_path_tracer_tpu.ops.raygen import generate_rays
+from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+
+def _intersect(origin, direction, scene_arrays, config: RenderConfig):
+    if config.intersector == "bvh":
+        from wavefront_path_tracer_tpu.ops.bvh_traverse import intersect_bvh
+
+        return intersect_bvh(
+            origin, direction,
+            scene_arrays["centers"], scene_arrays["radii"],
+            scene_arrays["bvh_min"], scene_arrays["bvh_max"],
+            scene_arrays["bvh_left_first"], scene_arrays["bvh_prim_count"],
+        )
+    return intersect_bruteforce(
+        origin, direction, scene_arrays["centers"], scene_arrays["radii"],
+        sphere_chunk=min(config.sphere_chunk, scene_arrays["centers"].shape[0]),
+    )
+
+
+def _extend(q_origin, q_dir, count, scene_arrays, config: RenderConfig):
+    """The extend stage (reference K2): nearest hit for the live prefix.
+
+    With ``config.ray_chunk`` set, only ceil(count/chunk) chunks are
+    intersected — dead-tail lanes cost nothing.
+    """
+    capacity = q_origin.shape[0]
+    chunk = config.ray_chunk
+    if chunk <= 0 or chunk >= capacity:
+        return _intersect(q_origin, q_dir, scene_arrays, config)
+
+    assert capacity % chunk == 0, "queue capacity must be a ray_chunk multiple"
+    t_buf = jnp.full((capacity,), T_FAR)
+    idx_buf = jnp.zeros((capacity,), jnp.int32)
+    hit_buf = jnp.zeros((capacity,), bool)
+    n_chunks = (count + chunk - 1) // chunk
+
+    def cond(state):
+        k = state[0]
+        return k < n_chunks
+
+    def body(state):
+        k, t_buf, idx_buf, hit_buf = state
+        start = k * chunk
+        o = jax.lax.dynamic_slice_in_dim(q_origin, start, chunk)
+        d = jax.lax.dynamic_slice_in_dim(q_dir, start, chunk)
+        t, si, h = _intersect(o, d, scene_arrays, config)
+        t_buf = jax.lax.dynamic_update_slice_in_dim(t_buf, t, start, 0)
+        idx_buf = jax.lax.dynamic_update_slice_in_dim(idx_buf, si, start, 0)
+        hit_buf = jax.lax.dynamic_update_slice_in_dim(hit_buf, h, start, 0)
+        return k + 1, t_buf, idx_buf, hit_buf
+
+    _, t_buf, idx_buf, hit_buf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_buf, idx_buf, hit_buf)
+    )
+    return t_buf, idx_buf, hit_buf
+
+
+def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
+                    config: RenderConfig, frame, sample):
+    """One sample for a pixel batch via the wavefront loop; (N, 3) radiance."""
+    n = pixel_idx.shape[0]
+    chunk = config.ray_chunk
+    capacity = n if chunk <= 0 else ((n + chunk - 1) // chunk) * chunk
+
+    # K1 generate: one primary ray per pixel fills the queue.
+    origin, direction = generate_rays(
+        pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
+    )
+    pad = capacity - n
+    q_pixel = jnp.concatenate([jnp.arange(n, dtype=jnp.int32), jnp.zeros((pad,), jnp.int32)])
+    q_origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)])
+    q_dir = jnp.concatenate([direction, jnp.ones((pad, 3), jnp.float32)])
+    q_throughput = jnp.ones((capacity, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    lane = jnp.arange(capacity, dtype=jnp.int32)
+
+    def cond(state):
+        bounce, count = state[0], state[1]
+        active = count > config.drain_threshold if config.drain_threshold else count > 0
+        return (bounce < config.max_bounces) & active
+
+    def body(state):
+        bounce, count, q_pixel, q_origin, q_dir, q_throughput, radiance = state
+        live = lane < count
+
+        # K2 extend.
+        t, sphere_idx, hit = _extend(q_origin, q_dir, count, scene_arrays, config)
+        hit = hit & live
+        missed = live & ~hit
+
+        # K4 miss: terminal sky contribution, scattered back to pixels.
+        sky = q_throughput * sky_color(q_dir)
+        radiance = radiance.at[q_pixel].add(
+            jnp.where(missed[:, None], sky, 0.0), mode="drop"
+        )
+
+        # K3 shade: attenuate + scatter, RNG stream keyed by *pixel*
+        # (deterministic; unlike reference shade.wgsl:72's queue-slot seed).
+        center = scene_arrays["centers"][sphere_idx]
+        p = q_origin + t[:, None] * q_dir
+        nvec = p - center
+        normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
+        state_rng = rng.stream_state(q_pixel.astype(jnp.uint32), frame, sample, bounce + 1)
+        new_dir = scatter(
+            state_rng, q_dir, normal,
+            scene_arrays["mat_type"][sphere_idx],
+            scene_arrays["fuzz"][sphere_idx],
+            scene_arrays["refract_idx"][sphere_idx],
+        )
+        q_throughput = jnp.where(
+            hit[:, None], q_throughput * scene_arrays["albedo"][sphere_idx], q_throughput
+        )
+        q_origin = jnp.where(hit[:, None], p, q_origin)
+        q_dir = jnp.where(hit[:, None], new_dir, q_dir)
+
+        # Compact: survivors to the queue front (replaces atomic appends
+        # + the extension-buffer move, path_tracer.rs:348).
+        order, new_count = compaction_order(hit)
+        q_pixel = q_pixel[order]
+        q_origin = q_origin[order]
+        q_dir = q_dir[order]
+        q_throughput = q_throughput[order]
+        return bounce + 1, new_count, q_pixel, q_origin, q_dir, q_throughput, radiance
+
+    state = (jnp.int32(0), jnp.int32(n), q_pixel, q_origin, q_dir, q_throughput, radiance)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[6]
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
+def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
+                   frame, sample_base, n_samples: int):
+    """Sum of ``n_samples`` radiance samples for the whole image; (P, 3)."""
+    num_pixels = config.num_pixels
+    pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
+
+    def one_sample(s, acc):
+        rad = trace_wavefront(
+            pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
+            sample_base + jnp.uint32(s),
+        )
+        return acc + rad
+
+    acc = jnp.zeros((num_pixels, 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_samples, one_sample, acc)

@@ -1,0 +1,150 @@
+"""Top-level progressive renderer.
+
+Replaces the reference's render orchestrator
+(``gpu_wavefront_pt/src/path_tracer.rs``): owns the prepared device
+scene, runs sample batches (SPF) until the SPP budget is reached,
+accumulates progressively, and restarts accumulation when the camera or
+viewport changes (the dirty-flag semantics of
+``wavefront_common/src/parameters.rs`` / ``path_tracer.rs:240-277``).
+
+Unlike the reference there is no display surface; results are returned
+as arrays and can be written to PNG / checkpointed (utils/image.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavefront_path_tracer_tpu.models import get_engine
+from wavefront_path_tracer_tpu.scene.camera import CameraController
+from wavefront_path_tracer_tpu.scene.scene import Scene
+from wavefront_path_tracer_tpu.utils.config import RenderConfig, RenderProgress
+
+
+def prepare_scene(scene: Scene, config: RenderConfig) -> dict:
+    """Host scene -> device SoA arrays (+ flattened BVH when enabled).
+
+    The BVH build reorders spheres in place, exactly like the reference's
+    ``build_bvh_tree(&mut spheres)`` (path_tracer.rs:117-118).
+    """
+    if config.intersector == "bvh":
+        from wavefront_path_tracer_tpu.scene.bvh import build_bvh
+
+        bvh, scene = build_bvh(scene)
+        extra = {
+            "bvh_min": jnp.asarray(bvh.aabb_min),
+            "bvh_max": jnp.asarray(bvh.aabb_max),
+            "bvh_left_first": jnp.asarray(bvh.left_first),
+            "bvh_prim_count": jnp.asarray(bvh.prim_count),
+        }
+    else:
+        extra = {}
+    arrays = {
+        "centers": jnp.asarray(scene.centers),
+        "radii": jnp.asarray(scene.radii),
+        "mat_type": jnp.asarray(scene.mat_type),
+        "albedo": jnp.asarray(scene.albedo),
+        "fuzz": jnp.asarray(scene.fuzz),
+        "refract_idx": jnp.asarray(scene.refract_idx),
+        **extra,
+    }
+    return arrays
+
+
+@dataclasses.dataclass
+class RenderResult:
+    accumulated: np.ndarray  # (H, W, 3) radiance sum over samples
+    samples: int
+    wall_time_s: float
+    mrays_per_s: float       # primary+extension rays traced / wall time
+
+    @property
+    def image(self) -> np.ndarray:
+        """Display transform: average + gamma 2.0
+        (reference display_shader.wgsl:50-53)."""
+        avg = self.accumulated / max(1, self.samples)
+        return np.sqrt(np.clip(avg, 0.0, None))
+
+
+class Renderer:
+    """Progressive renderer with accumulation-restart semantics."""
+
+    def __init__(self, scene: Scene, camera: CameraController, config: RenderConfig):
+        self.config = config
+        self.camera = camera
+        self.scene_arrays = prepare_scene(scene, config)
+        self.progress = RenderProgress()
+        self._accum = np.zeros((config.num_pixels, 3), np.float32)
+        self._engine = get_engine(config.engine)
+
+    # -- dirty-flag API (reference parameters.rs:7-59) --
+    def camera_changed(self) -> None:
+        self.reset_accumulation()
+
+    def resize(self, width: int, height: int) -> None:
+        self.config = self.config.replace(width=width, height=height)
+        self.reset_accumulation()
+
+    def reset_accumulation(self) -> None:
+        self.progress.reset()
+        self._accum = np.zeros((self.config.num_pixels, 3), np.float32)
+
+    def render_frame(self) -> Optional[RenderResult]:
+        """Run one SPF batch (one 'frame'); returns the running result,
+        or None when the SPP budget is already met."""
+        cfg = self.config
+        remaining = cfg.samples_per_pixel - self.progress.accumulated_samples
+        if remaining <= 0:
+            return None
+        n_samples = min(cfg.samples_per_frame, remaining)
+        view = jnp.asarray(self.camera.view_matrix())
+        inv_proj = jnp.asarray(self.camera.inverse_projection(cfg.width, cfg.height))
+        cam = self.camera.gpu_camera()
+
+        t0 = time.perf_counter()
+        # The RNG frame salt stays fixed for a whole accumulation run;
+        # progressive SPF batches are distinguished by sample_base, so
+        # progressive and batched renders accumulate identical samples.
+        rad = self._engine.render_samples(
+            self.scene_arrays, cam, view, inv_proj, cfg,
+            jnp.uint32(cfg.frame),
+            jnp.uint32(self.progress.accumulated_samples),
+            n_samples,
+        )
+        rad = jax.block_until_ready(rad)
+        dt = time.perf_counter() - t0
+
+        self._accum += np.asarray(rad)
+        self.progress.accumulated_samples += n_samples
+        self.progress.frame += 1
+        # Ray-count estimate: >= 1 primary ray per pixel per sample; the
+        # true extend+shade ray count is tracked by utils/profiling.
+        mrays = cfg.num_pixels * n_samples / dt / 1e6
+        return RenderResult(
+            accumulated=self._accum.reshape(cfg.height, cfg.width, 3),
+            samples=self.progress.accumulated_samples,
+            wall_time_s=dt,
+            mrays_per_s=mrays,
+        )
+
+    def render(self) -> RenderResult:
+        """Render the full SPP budget; returns the final result."""
+        result = None
+        while True:
+            r = self.render_frame()
+            if r is None:
+                break
+            result = r
+        assert result is not None
+        return result
+
+
+def render(scene: Scene, camera: CameraController, config: RenderConfig) -> RenderResult:
+    """One-shot convenience wrapper."""
+    return Renderer(scene, camera, config).render()

@@ -1,0 +1,214 @@
+"""Sphere scenes as structure-of-arrays, built on the host with numpy.
+
+Re-expresses the reference's scene model (``wavefront_common/src/scene.rs``,
+``sphere.rs``, ``material.rs``) TPU-first: instead of 32-byte AoS PODs
+uploaded to storage buffers, the scene is a pytree of SoA arrays so the
+intersector can stream sphere blocks through the VPU/MXU.
+
+Material types (reference material.rs:3-10): 0 Lambertian, 1 Metal,
+2 Dielectric.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+LAMBERTIAN = 0
+METAL = 1
+DIELECTRIC = 2
+
+
+class Scene(NamedTuple):
+    """SoA scene tables.  A NamedTuple of arrays == a JAX pytree.
+
+    Sphere tables have length N (number of spheres); material tables have
+    length M.  ``mat_albedo/fuzz/refract`` are pre-gathered *per sphere*
+    as well (``albedo`` etc.) so the hot path never does a second indexed
+    gather through the material table — a TPU-friendly denormalization
+    the AoS reference could not afford in its 32-byte structs.
+    """
+
+    centers: np.ndarray       # (N, 3) f32
+    radii: np.ndarray         # (N,)  f32
+    mat_idx: np.ndarray       # (N,)  i32 index into material tables
+    mat_type: np.ndarray      # (N,)  i32 in {0, 1, 2}
+    albedo: np.ndarray        # (N, 3) f32  per-sphere gathered albedo
+    fuzz: np.ndarray          # (N,)  f32  per-sphere gathered fuzz
+    refract_idx: np.ndarray   # (N,)  f32  per-sphere gathered ior
+    # Normalized material tables (length M), kept for API parity with the
+    # reference's separate materials buffer (path_tracer.rs:123-125).
+    table_albedo: np.ndarray  # (M, 3) f32
+    table_fuzz: np.ndarray    # (M,)  f32
+    table_refract: np.ndarray # (M,)  f32
+    table_type: np.ndarray    # (M,)  i32
+
+    @property
+    def num_spheres(self) -> int:
+        return self.centers.shape[0]
+
+    @property
+    def num_materials(self) -> int:
+        return self.table_albedo.shape[0]
+
+    def aabbs(self):
+        """Per-sphere AABBs (reference sphere.rs:22-26)."""
+        r = self.radii[:, None]
+        return self.centers - r, self.centers + r
+
+    def permuted(self, order: np.ndarray) -> "Scene":
+        """Scene with spheres reordered (BVH builds reorder primitives)."""
+        return self._replace(
+            centers=self.centers[order],
+            radii=self.radii[order],
+            mat_idx=self.mat_idx[order],
+            mat_type=self.mat_type[order],
+            albedo=self.albedo[order],
+            fuzz=self.fuzz[order],
+            refract_idx=self.refract_idx[order],
+        )
+
+
+class SceneBuilder:
+    """Imperative builder mirroring the reference's Vec<Sphere>/Vec<Material>."""
+
+    def __init__(self) -> None:
+        self._spheres: list[tuple] = []   # (center, radius, mat_idx, mat_type)
+        self._materials: list[tuple] = [] # (albedo3, fuzz, refract_idx, mat_type)
+
+    # Material ctor semantics match reference material.rs:26-36.
+    def lambertian(self, albedo) -> int:
+        self._materials.append((np.asarray(albedo, np.float32), 0.0, 0.0, LAMBERTIAN))
+        return len(self._materials) - 1
+
+    def metal(self, albedo, fuzz: float) -> int:
+        fuzz = float(np.clip(fuzz, 0.0, 1.0))
+        self._materials.append((np.asarray(albedo, np.float32), fuzz, 0.0, METAL))
+        return len(self._materials) - 1
+
+    def dielectric(self, refract_index: float) -> int:
+        self._materials.append((np.ones(3, np.float32), 0.0, float(refract_index), DIELECTRIC))
+        return len(self._materials) - 1
+
+    def sphere(self, center, radius: float, mat_idx: int) -> None:
+        mat_type = self._materials[mat_idx][3]
+        self._spheres.append((np.asarray(center, np.float32), float(radius), mat_idx, mat_type))
+
+    def build(self) -> Scene:
+        n = len(self._spheres)
+        if n == 0:
+            raise ValueError("scene has no spheres")
+        centers = np.stack([s[0] for s in self._spheres]).astype(np.float32)
+        radii = np.array([s[1] for s in self._spheres], np.float32)
+        mat_idx = np.array([s[2] for s in self._spheres], np.int32)
+        mat_type = np.array([s[3] for s in self._spheres], np.int32)
+
+        t_albedo = np.stack([m[0] for m in self._materials]).astype(np.float32)
+        t_fuzz = np.array([m[1] for m in self._materials], np.float32)
+        t_refract = np.array([m[2] for m in self._materials], np.float32)
+        t_type = np.array([m[3] for m in self._materials], np.int32)
+
+        return Scene(
+            centers=centers,
+            radii=radii,
+            mat_idx=mat_idx,
+            mat_type=mat_type,
+            albedo=t_albedo[mat_idx],
+            fuzz=t_fuzz[mat_idx],
+            refract_idx=t_refract[mat_idx],
+            table_albedo=t_albedo,
+            table_fuzz=t_fuzz,
+            table_refract=t_refract,
+            table_type=t_type,
+        )
+
+
+def book_cover() -> Scene:
+    """5-sphere RTIOW cover incl. hollow glass bubble (scene.rs:12-46)."""
+    b = SceneBuilder()
+    m_ground = b.lambertian([0.8, 0.8, 0.0])
+    m_center = b.lambertian([0.1, 0.2, 0.5])
+    m_left = b.dielectric(1.50)
+    m_right = b.metal([0.8, 0.6, 0.2], 1.0)
+    m_bubble = b.dielectric(1.00 / 1.50)
+
+    b.sphere([0.0, -100.5, -1.0], 100.0, m_ground)
+    b.sphere([0.0, 0.0, -1.2], 0.5, m_center)
+    b.sphere([1.0, 0.0, -1.0], 0.5, m_right)
+    b.sphere([-1.0, 0.0, -1.0], 0.5, m_left)
+    b.sphere([-1.0, 0.0, -1.0], 0.4, m_bubble)
+    return b.build()
+
+
+def book_one_final(seed: int = 42) -> Scene:
+    """Shirley book-1 final scene: ground + 22x22 random grid + 3 big spheres.
+
+    Mirrors reference scene.rs:48-107 but with a *seeded* RNG — the
+    reference uses an unseeded thread_rng (util_funcs.rs:6-36) so its
+    scenes are non-reproducible; ours are.
+    """
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, b.lambertian([0.5, 0.5, 0.5]))
+
+    for a in range(-11, 11):
+        for c in range(-11, 11):
+            choose_mat = rng.rand()
+            center = np.array(
+                [a + 0.9 * rng.rand(), 0.2, c + 0.9 * rng.rand()], np.float32
+            )
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose_mat < 0.8:
+                albedo = rng.rand(3) * rng.rand(3)
+                b.sphere(center, 0.2, b.lambertian(albedo))
+            elif choose_mat < 0.95:
+                albedo = 0.5 + 0.5 * rng.rand(3)
+                fuzz = 0.5 * rng.rand()
+                b.sphere(center, 0.2, b.metal(albedo, fuzz))
+            else:
+                b.sphere(center, 0.2, b.dielectric(1.5))
+
+    b.sphere([0.0, 1.0, 0.0], 1.0, b.dielectric(1.50))
+    b.sphere([-4.0, 1.0, 0.0], 1.0, b.lambertian([0.4, 0.2, 0.1]))
+    b.sphere([4.0, 1.0, 0.0], 1.0, b.metal([0.7, 0.6, 0.5], 0.0))
+    return b.build()
+
+
+def procedural_spheres(n: int = 10_000, seed: int = 7, extent: float = 50.0) -> Scene:
+    """Large procedural scene for BVH-depth / compaction stress
+    (BASELINE.json config 4; no reference analog)."""
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, b.lambertian([0.5, 0.5, 0.5]))
+
+    centers = np.empty((n, 3), np.float32)
+    centers[:, 0] = rng.uniform(-extent, extent, n)
+    centers[:, 2] = rng.uniform(-extent, extent, n)
+    radii = rng.uniform(0.1, 0.4, n).astype(np.float32)
+    centers[:, 1] = radii  # rest on the ground
+    kinds = rng.rand(n)
+    for i in range(n):
+        if kinds[i] < 0.7:
+            m = b.lambertian(rng.rand(3))
+        elif kinds[i] < 0.9:
+            m = b.metal(0.5 + 0.5 * rng.rand(3), 0.5 * rng.rand())
+        else:
+            m = b.dielectric(1.5)
+        b.sphere(centers[i], float(radii[i]), m)
+    return b.build()
+
+
+_SCENES = {
+    "book_cover": book_cover,
+    "book_one_final": book_one_final,
+    "procedural": procedural_spheres,
+}
+
+
+def get_scene(name: str, **kw) -> Scene:
+    if name not in _SCENES:
+        raise KeyError(f"unknown scene {name!r}; have {sorted(_SCENES)}")
+    return _SCENES[name](**kw)

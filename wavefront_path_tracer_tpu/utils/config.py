@@ -1,0 +1,62 @@
+"""Render configuration.
+
+The reference hardcodes its knobs (2880x1620 viewport in
+``gpu_wavefront_pt/src/main.rs:33``, ``SPP=10`` / ``SPF=1`` compile-time
+constants in ``wavefront_common/src/parameters.rs:4-5``, bounce cap 50
+and the queue-drain heuristic 128 as literals in
+``gpu_wavefront_pt/src/path_tracer.rs:323,332``, ``USE_BVH`` baked into
+shader source at ``extend.wgsl:1``).  Here they are one dataclass that
+doubles as the CLI surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All static knobs of a render.
+
+    Frozen + hashable so it can be a jit static argument.
+    """
+
+    width: int = 400
+    height: int = 225
+    samples_per_pixel: int = 10        # reference SPP (parameters.rs:4)
+    samples_per_frame: int = 1         # reference SPF (parameters.rs:5)
+    max_bounces: int = 50              # reference bounce cap (path_tracer.rs:323)
+    frame: int = 0                     # RNG frame salt
+    use_bvh: bool = True               # reference extend.wgsl:1
+    engine: str = "wavefront"          # "megakernel" | "wavefront" | "fused"
+    intersector: str = "bruteforce"    # "bruteforce" | "bvh"
+    ray_chunk: int = 0                 # 0 = whole wavefront in one chunk
+    sphere_chunk: int = 128            # spheres per intersection block
+    # Multi-chip: number of devices to shard pixels over (1 = single chip).
+    num_devices: int = 1
+    # Exact termination instead of the reference's lossy `misses < 128`
+    # early break (path_tracer.rs:330-332) — kept as a knob for A/B.
+    drain_threshold: int = 0
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass
+class RenderProgress:
+    """Progressive accumulation bookkeeping (reference parameters.rs:61-101)."""
+
+    frame: int = 0
+    accumulated_samples: int = 0
+
+    def progress(self, spp: int) -> float:
+        return min(1.0, self.accumulated_samples / max(1, spp))
+
+    def reset(self) -> None:
+        self.frame = 0
+        self.accumulated_samples = 0

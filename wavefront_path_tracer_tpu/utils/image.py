@@ -1,0 +1,90 @@
+"""Image output, comparison, and render checkpointing.
+
+The reference is display-only (no image export of any kind,
+SURVEY.md §5); this module adds PNG export, RMSE gates against the
+oracle, and resumable accumulation checkpoints — all with zero external
+dependencies (hand-rolled PNG via zlib).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def display_transform(accumulated: np.ndarray, samples: int) -> np.ndarray:
+    """Average + gamma-2.0 (reference display_shader.wgsl:50-53)."""
+    avg = np.asarray(accumulated, np.float32) / max(1, samples)
+    return np.sqrt(np.clip(avg, 0.0, None))
+
+
+def to_u8(image: np.ndarray) -> np.ndarray:
+    return (np.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) float [0,1] or uint8 image as PNG."""
+    if image.dtype != np.uint8:
+        image = to_u8(image)
+    h, w, _ = image.shape
+    raw = b"".join(b"\x00" + image[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal reader for PNGs produced by write_png (8-bit RGB)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h = 8, b"", 0, 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = [
+        np.frombuffer(raw[r * stride + 1 : (r + 1) * stride], np.uint8)
+        for r in range(h)
+    ]
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def rmse(a: np.ndarray, b: np.ndarray) -> float:
+    """Root-mean-square error, the BASELINE correctness gate (<1e-3)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def save_checkpoint(path: str, accumulated: np.ndarray, samples: int, frame: int = 0) -> None:
+    """Checkpoint progressive accumulation (absent in the reference —
+    its accumulator dies on exit, SURVEY.md §5)."""
+    np.savez(path, accumulated=accumulated, samples=samples, frame=frame)
+
+
+def load_checkpoint(path: str):
+    z = np.load(path)
+    return z["accumulated"], int(z["samples"]), int(z["frame"])
