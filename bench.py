@@ -1,0 +1,115 @@
+"""Benchmark runner: Mrays/s on the Shirley book-1 final scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+The metric is rays processed by extend+shade per second (live rays
+summed over bounces / wall time), the BASELINE.json headline.  The
+baseline target is 1,000 Mrays/s (1 Grays/s) per chip.
+
+Flags (optional): --width --height --spp --engine --intersector
+--scene --all (prints extra per-config lines to stderr first).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+BASELINE_MRAYS = 1000.0
+
+
+def bench_once(scene_name: str, width: int, height: int, spp: int,
+               engine: str, intersector: str, max_bounces: int = 50,
+               warmup_spp: int = 1):
+    import jax
+    import jax.numpy as jnp
+
+    from wavefront_path_tracer_tpu.models import get_engine
+    from wavefront_path_tracer_tpu.renderer import prepare_scene
+    from wavefront_path_tracer_tpu.scene import CameraController
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(
+        width=width, height=height, samples_per_pixel=spp,
+        samples_per_frame=spp, max_bounces=max_bounces,
+        engine=engine, intersector=intersector,
+        use_bvh=(intersector == "bvh"),
+    )
+    scene = get_scene(scene_name)
+    cc = CameraController.book_one_final()
+    arrays = prepare_scene(scene, cfg)
+    view = jnp.asarray(cc.view_matrix())
+    inv_proj = jnp.asarray(cc.inverse_projection(cfg.width, cfg.height))
+    cam = cc.gpu_camera()
+    eng = get_engine(engine)
+
+    # Warmup: compile + one small run.
+    rad, rays = eng.render_samples(
+        arrays, cam, view, inv_proj, cfg, jnp.uint32(0), jnp.uint32(0), warmup_spp
+    )
+    jax.block_until_ready(rad)
+
+    t0 = time.perf_counter()
+    rad, rays = eng.render_samples(
+        arrays, cam, view, inv_proj, cfg, jnp.uint32(0), jnp.uint32(warmup_spp), spp
+    )
+    rad = jax.block_until_ready(rad)
+    dt = time.perf_counter() - t0
+    rays = float(rays)
+    return {
+        "scene": scene_name,
+        "config": f"{width}x{height}@{spp}spp/{engine}/{intersector}",
+        "rays": rays,
+        "seconds": dt,
+        "mrays_per_s": rays / dt / 1e6,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="book_one_final")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--spp", type=int, default=8)
+    p.add_argument("--engine", default="wavefront")
+    p.add_argument("--intersector", default="bvh")
+    p.add_argument("--max-bounces", type=int, default=50)
+    p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
+    args = p.parse_args()
+
+    if args.all:
+        best = None
+        for engine in ("wavefront", "megakernel"):
+            for intersector in ("bvh", "bruteforce"):
+                try:
+                    r = bench_once(args.scene, args.width, args.height, args.spp,
+                                   engine, intersector, args.max_bounces)
+                except Exception as e:  # keep sweeping
+                    print(f"{engine}/{intersector}: FAILED {e}", file=sys.stderr)
+                    continue
+                print(f"{r['config']}: {r['mrays_per_s']:.1f} Mrays/s "
+                      f"({r['rays']/1e6:.0f} Mrays in {r['seconds']:.2f}s)",
+                      file=sys.stderr)
+                if best is None or r["mrays_per_s"] > best["mrays_per_s"]:
+                    best = r
+        result = best
+    else:
+        result = bench_once(args.scene, args.width, args.height, args.spp,
+                            args.engine, args.intersector, args.max_bounces)
+
+    value = result["mrays_per_s"]
+    print(json.dumps({
+        "metric": f"Mrays/sec/chip extend+shade ({result['config']}, {result['scene']})",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Command-line renderer — the app layer.
+
+Replaces the reference's binary entry point + event loop
+(``gpu_wavefront_pt/src/main.rs``, ``app.rs``): scene/camera selection,
+render-parameter plumbing, the progressive frame loop with FPS/timing
+reports, and output.  Headless: writes PNG (and optional checkpoints)
+instead of presenting to a surface; every hardcoded constant of the
+reference (viewport ``main.rs:33``, SPP/SPF ``parameters.rs:4-5``,
+bounce cap ``path_tracer.rs:323``) is a flag here.
+
+Example::
+
+    python -m wavefront_path_tracer_tpu.cli \
+        --scene book_one_final --width 640 --height 360 --spp 64 \
+        --engine fused --out render.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wavefront_path_tracer_tpu",
+        description="TPU-native wavefront path tracer",
+    )
+    p.add_argument("--scene", default="book_one_final",
+                   help="book_cover | book_one_final | procedural")
+    p.add_argument("--scene-seed", type=int, default=42)
+    p.add_argument("--spheres", type=int, default=10000,
+                   help="sphere count for --scene procedural")
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=225)
+    p.add_argument("--spp", type=int, default=10)
+    p.add_argument("--spf", type=int, default=1, help="samples per frame batch")
+    p.add_argument("--max-bounces", type=int, default=50)
+    p.add_argument("--engine", default="fused",
+                   choices=["fused", "wavefront", "megakernel"])
+    p.add_argument("--intersector", default="bruteforce",
+                   choices=["bruteforce", "bvh"])
+    p.add_argument("--frame", type=int, default=0, help="RNG frame salt")
+    # Camera (defaults = reference main.rs:23-32 book-one-final camera).
+    p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
+    p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--vfov", type=float, default=20.0)
+    p.add_argument("--defocus-angle", type=float, default=0.6)
+    p.add_argument("--focus-distance", type=float, default=10.0)
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="npz accumulation checkpoint to write each frame")
+    p.add_argument("--resume", default=None,
+                   help="npz checkpoint to resume accumulation from")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from wavefront_path_tracer_tpu.renderer import Renderer
+    from wavefront_path_tracer_tpu.scene import CameraController
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+    from wavefront_path_tracer_tpu.utils.image import (
+        load_checkpoint,
+        save_checkpoint,
+        write_png,
+    )
+    from wavefront_path_tracer_tpu.utils.profiling import FramesPerSecond
+
+    scene_kwargs = {}
+    if args.scene == "book_one_final":
+        scene_kwargs["seed"] = args.scene_seed
+    elif args.scene == "procedural":
+        scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
+    scene = get_scene(args.scene, **scene_kwargs)
+
+    cc = CameraController.book_one_final()
+    cc.camera = cc.camera.look_at(args.look_from, args.look_at)
+    cc.vfov_deg = args.vfov
+    cc.defocus_angle_deg = args.defocus_angle
+    cc.focus_distance = args.focus_distance
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, samples_per_frame=args.spf,
+        max_bounces=args.max_bounces, frame=args.frame,
+        engine=args.engine, intersector=args.intersector,
+        use_bvh=(args.intersector == "bvh"),
+    )
+
+    renderer = Renderer(scene, cc, cfg)
+    if args.resume:
+        acc, samples, frame = load_checkpoint(args.resume)
+        renderer._accum = acc.reshape(-1, 3).astype(np.float32)
+        renderer.progress.accumulated_samples = samples
+        renderer.progress.frame = frame
+        if not args.quiet:
+            print(f"resumed at {samples} spp", file=sys.stderr)
+
+    fps = FramesPerSecond()
+    t_start = time.perf_counter()
+    result = None
+    while True:
+        r = renderer.render_frame()
+        if r is None:
+            break
+        result = r
+        fps.update()
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint, renderer._accum,
+                            renderer.progress.accumulated_samples,
+                            renderer.progress.frame)
+        if not args.quiet:
+            pct = 100.0 * renderer.progress.progress(cfg.samples_per_pixel)
+            print(
+                f"[{pct:5.1f}%] {r.samples}/{cfg.samples_per_pixel} spp  "
+                f"{r.mrays_per_s:8.1f} Mrays/s  {fps.get_avg_fps():5.1f} fps",
+                file=sys.stderr,
+            )
+
+    if result is None:
+        print("nothing to render (SPP budget already met)", file=sys.stderr)
+        return 1
+    write_png(args.out, result.image)
+    if not args.quiet:
+        total = time.perf_counter() - t_start
+        print(
+            f"wrote {args.out}: {cfg.width}x{cfg.height} @ {result.samples} spp "
+            f"in {total:.1f}s", file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,7 +46,10 @@ def _intersect(origin, direction, scene_arrays, config: RenderConfig):
 
 def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
                  config: RenderConfig, frame, sample):
-    """Trace one sample for a batch of pixels; returns (N, 3) radiance."""
+    """Trace one sample for a batch of pixels.
+
+    Returns (radiance (N, 3), rays_traced scalar) — the live-lane count
+    summed over bounces, for Mrays/s accounting."""
     origin, direction = generate_rays(
         pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
     )
@@ -56,11 +59,12 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     alive = jnp.ones((n,), bool)
 
     def cond(state):
-        bounce, _, _, _, _, alive = state
+        bounce, _, _, _, _, alive, _ = state
         return (bounce < config.max_bounces) & jnp.any(alive)
 
     def body(state):
-        bounce, origin, direction, throughput, radiance, alive = state
+        bounce, origin, direction, throughput, radiance, alive, rays = state
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
         t, sphere_idx, hit = _intersect(origin, direction, scene_arrays, config)
 
         # Miss: terminal sky contribution (K4 semantics).
@@ -89,24 +93,25 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         )
         origin = jnp.where(hit_alive[:, None], p, origin)
         direction = jnp.where(hit_alive[:, None], new_dir, direction)
-        return bounce + 1, origin, direction, throughput, radiance, hit_alive
+        return bounce + 1, origin, direction, throughput, radiance, hit_alive, rays
 
-    state = (jnp.int32(0), origin, direction, throughput, radiance, alive)
+    state = (jnp.int32(0), origin, direction, throughput, radiance, alive, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
-    return state[4]
+    return state[4], state[6]
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
 def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                    frame, sample_base, n_samples: int):
-    """Sum of ``n_samples`` radiance samples for the whole image; (P, 3)."""
+    """Sum of ``n_samples`` radiance samples; ((P, 3), rays_traced)."""
     num_pixels = config.num_pixels
     chunk = config.ray_chunk or min(num_pixels, 131072)
     pad = (-num_pixels) % chunk
     pixel_idx = jnp.arange(num_pixels + pad, dtype=jnp.uint32)
     chunks = pixel_idx.reshape(-1, chunk)
 
-    def one_sample(s, acc):
+    def one_sample(s, carry):
+        acc, rays = carry
         sample = sample_base + jnp.uint32(s)
 
         def per_chunk(idx_chunk):
@@ -114,8 +119,10 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                 idx_chunk, scene_arrays, cam, view, inv_proj, config, frame, sample
             )
 
-        rad = jax.lax.map(per_chunk, chunks).reshape(-1, 3)
-        return acc + rad[:num_pixels]
+        rad, r = jax.lax.map(per_chunk, chunks)
+        rad = rad.reshape(-1, 3)
+        return acc + rad[:num_pixels], rays + jnp.sum(r).astype(jnp.float32)
 
     acc = jnp.zeros((num_pixels, 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_samples, one_sample, acc)
+    acc, rays = jax.lax.fori_loop(0, n_samples, one_sample, (acc, jnp.float32(0)))
+    return acc, rays

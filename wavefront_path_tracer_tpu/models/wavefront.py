@@ -101,7 +101,12 @@ def _extend(q_origin, q_dir, count, scene_arrays, config: RenderConfig):
 
 def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
                     config: RenderConfig, frame, sample):
-    """One sample for a pixel batch via the wavefront loop; (N, 3) radiance."""
+    """One sample for a pixel batch via the wavefront loop.
+
+    Returns (radiance (N, 3), rays_traced scalar) where rays_traced is
+    the number of live rays processed by extend+shade across all
+    bounces — the Mrays/s numerator (BASELINE.json metric).
+    """
     n = pixel_idx.shape[0]
     chunk = config.ray_chunk
     capacity = n if chunk <= 0 else ((n + chunk - 1) // chunk) * chunk
@@ -111,12 +116,19 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
     )
     pad = capacity - n
-    q_pixel = jnp.concatenate([jnp.arange(n, dtype=jnp.int32), jnp.zeros((pad,), jnp.int32)])
+    # Two ids per lane: the *global* pixel id drives RNG streams (must
+    # match the megakernel oracle under sharding, where pixel_idx is a
+    # tile of the full index space); the *local* slot addresses this
+    # batch's radiance buffer.
+    q_pixel = jnp.concatenate([pixel_idx.astype(jnp.uint32), jnp.zeros((pad,), jnp.uint32)])
+    q_slot = jnp.concatenate([jnp.arange(n, dtype=jnp.int32), jnp.zeros((pad,), jnp.int32)])
     q_origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)])
     q_dir = jnp.concatenate([direction, jnp.ones((pad, 3), jnp.float32)])
     q_throughput = jnp.ones((capacity, 3), jnp.float32)
     radiance = jnp.zeros((n, 3), jnp.float32)
     lane = jnp.arange(capacity, dtype=jnp.int32)
+
+    rays_traced = jnp.int32(0)
 
     def cond(state):
         bounce, count = state[0], state[1]
@@ -124,7 +136,9 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         return (bounce < config.max_bounces) & active
 
     def body(state):
-        bounce, count, q_pixel, q_origin, q_dir, q_throughput, radiance = state
+        (bounce, count, q_pixel, q_slot, q_origin, q_dir, q_throughput,
+         radiance, rays_traced) = state
+        rays_traced = rays_traced + count
         live = lane < count
 
         # K2 extend.
@@ -134,7 +148,7 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
 
         # K4 miss: terminal sky contribution, scattered back to pixels.
         sky = q_throughput * sky_color(q_dir)
-        radiance = radiance.at[q_pixel].add(
+        radiance = radiance.at[q_slot].add(
             jnp.where(missed[:, None], sky, 0.0), mode="drop"
         )
 
@@ -144,7 +158,7 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         p = q_origin + t[:, None] * q_dir
         nvec = p - center
         normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
-        state_rng = rng.stream_state(q_pixel.astype(jnp.uint32), frame, sample, bounce + 1)
+        state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
         new_dir = scatter(
             state_rng, q_dir, normal,
             scene_arrays["mat_type"][sphere_idx],
@@ -161,29 +175,36 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         # + the extension-buffer move, path_tracer.rs:348).
         order, new_count = compaction_order(hit)
         q_pixel = q_pixel[order]
+        q_slot = q_slot[order]
         q_origin = q_origin[order]
         q_dir = q_dir[order]
         q_throughput = q_throughput[order]
-        return bounce + 1, new_count, q_pixel, q_origin, q_dir, q_throughput, radiance
+        return (bounce + 1, new_count, q_pixel, q_slot, q_origin, q_dir,
+                q_throughput, radiance, rays_traced)
 
-    state = (jnp.int32(0), jnp.int32(n), q_pixel, q_origin, q_dir, q_throughput, radiance)
+    state = (jnp.int32(0), jnp.int32(n), q_pixel, q_slot, q_origin, q_dir,
+             q_throughput, radiance, rays_traced)
     state = jax.lax.while_loop(cond, body, state)
-    return state[6]
+    return state[7], state[8]
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
 def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                    frame, sample_base, n_samples: int):
-    """Sum of ``n_samples`` radiance samples for the whole image; (P, 3)."""
+    """Sum of ``n_samples`` radiance samples; ((P, 3), rays_traced)."""
     num_pixels = config.num_pixels
     pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
 
-    def one_sample(s, acc):
-        rad = trace_wavefront(
+    def one_sample(s, carry):
+        acc, rays = carry
+        rad, r = trace_wavefront(
             pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
             sample_base + jnp.uint32(s),
         )
-        return acc + rad
+        # f32 count: avoids int32 overflow at billions of rays; the
+        # ~2^-24 relative rounding is irrelevant for a throughput metric.
+        return acc + rad, rays + r.astype(jnp.float32)
 
     acc = jnp.zeros((num_pixels, 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_samples, one_sample, acc)
+    acc, rays = jax.lax.fori_loop(0, n_samples, one_sample, (acc, jnp.float32(0)))
+    return acc, rays

@@ -1,0 +1,326 @@
+"""Fused Pallas TPU kernel: extend + shade for one bounce of a ray tile.
+
+This is the speed-of-light path for sphere scenes (the reference's K2+K3,
+``extend.wgsl`` + ``shade.wgsl``, fused).  Design, driven by measured
+device characteristics (HBM streaming ~2 orders below VPU throughput):
+
+* The whole SoA scene (centers/radii/materials, a few tens of KB) lives
+  in VMEM; the kernel loops over spheres as *scalars* while keeping a
+  (8, 128) = 1024-ray tile fully vectorized on the VPU — the transpose
+  of the reference's thread-per-ray SIMT layout.
+* The nearest-hit "argmin" carries the winning sphere's attributes
+  (center, radius, material) through running ``where`` selects, so no
+  gather ever touches HBM and no hit-payload queue exists at all —
+  extend's output feeds shade in registers.
+* Shading (all three RTIOW BSDFs, branchless) and the bit-exact PCG
+  RNG (ops/rng.py formulas) run inline on the same tile.
+* Miss lanes emit sky radiance (K4) and die; the bounce loop outside
+  sees only an ``alive`` mask — no atomics, no compaction, no host
+  syncs.  On hardware where a 128k-lane sort costs ~2 ms, masked dead
+  lanes are far cheaper than sort-based queue compaction.
+
+Rays per tile: ROWS x 128 (ROWS=8 default).  All per-ray fields are
+separate (ROWS, 128) f32/u32 planes (pure SoA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_MIN = 0.001
+T_FAR = 1e30
+
+# PCG-RXS-M-XS constants (see ops/rng.py; bit-identical streams).
+_PCG_MULT = 747796405
+_PCG_INC = 2891336453
+_RXS_M = 277803737
+_U32_TO_F32 = 2.3283064365387e-10
+_PI = 3.1415927
+_SAMPLE_STRIDE = 0x9E3779B9
+_BOUNCE_STRIDE = 0x85EBCA6B
+
+
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _jenkins(x):
+    x = x + (x << 10)
+    x = x ^ (x >> 6)
+    x = x + (x << 3)
+    x = x ^ (x >> 11)
+    x = x + (x << 15)
+    return x
+
+
+def _pcg_next(state):
+    state = state * _u32(_PCG_MULT) + _u32(_PCG_INC)
+    word = ((state >> ((state >> 28) + _u32(4))) ^ state) * _u32(_RXS_M)
+    return state, (word >> 22) ^ word
+
+
+def _next_f32(state):
+    state, w = _pcg_next(state)
+    # Mosaic has no uint32->f32 cast; split into two int32-safe parts.
+    # f32(hi)*256 + f32(lo) rounds identically to f32(w) (hi < 2^24 and
+    # 256*hi is exact, so the one rounding happens at the final add).
+    hi = pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32)
+    lo = pltpu.bitcast(w & _u32(0xFF), jnp.int32).astype(jnp.float32)
+    return state, (hi * 256.0 + lo) * jnp.float32(_U32_TO_F32)
+
+
+def bounce_kernel(
+    # scene (full-array VMEM residents)
+    scn_ref,      # (S, 16) f32: cols cx cy cz r alb_r alb_g alb_b fuzz ior mtype
+                  # (row-major so the sphere loop's dynamic index is on the
+                  # sublane dim — dynamic lane indexing doesn't compile)
+    nsph_ref,     # (1, 1) i32 in SMEM: real sphere count
+    salt_ref,     # (1, 3) u32 in SMEM: frame, sample, bounce
+    # ray tile (SoA planes)
+    px_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tr_ref, tg_ref, tb_ref, alive_ref,
+    # outputs
+    ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+    tr_o, tg_o, tb_o, alive_o, rad_r_o, rad_g_o, rad_b_o,
+):
+    f32 = jnp.float32
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    alive = alive_ref[:] > 0
+
+    n_spheres = nsph_ref[0, 0]
+
+    # ---- extend: nearest hit over all spheres (sphere-scalar loop) ----
+    shape = ox.shape
+    a_q = dx * dx + dy * dy + dz * dz  # ~1 (normalized), kept for exactness
+
+    def sphere_step(s, carry):
+        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+         b_fuzz, b_ior, b_mt) = carry
+        cx = scn_ref[s, 0]
+        cy = scn_ref[s, 1]
+        cz = scn_ref[s, 2]
+        r = scn_ref[s, 3]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b_q = dx * ocx + dy * ocy + dz * ocz
+        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b_q * b_q - a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b_q - sq) / a_q
+        t2 = (-b_q + sq) / a_q
+        t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+        t = jnp.where(disc >= 0.0, t, T_FAR)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        b_cx = jnp.where(better, cx, b_cx)
+        b_cy = jnp.where(better, cy, b_cy)
+        b_cz = jnp.where(better, cz, b_cz)
+        b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+        b_ar = jnp.where(better, scn_ref[s, 4], b_ar)
+        b_ag = jnp.where(better, scn_ref[s, 5], b_ag)
+        b_ab = jnp.where(better, scn_ref[s, 6], b_ab)
+        b_fuzz = jnp.where(better, scn_ref[s, 7], b_fuzz)
+        b_ior = jnp.where(better, scn_ref[s, 8], b_ior)
+        b_mt = jnp.where(better, scn_ref[s, 9], b_mt)
+        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+                b_fuzz, b_ior, b_mt)
+
+    init = (
+        jnp.full(shape, T_FAR, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.ones(shape, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.zeros(shape, f32), jnp.ones(shape, f32), jnp.zeros(shape, f32),
+    )
+    (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+     b_fuzz, b_ior, b_mt) = jax.lax.fori_loop(0, n_spheres, sphere_step, init)
+
+    hit = (best_t < T_FAR) & alive
+    missed = alive & ~hit
+
+    # ---- K4 miss: sky radiance for terminated lanes ----
+    sky_a = 0.5 * (dy + 1.0)
+    tr, tg, tb = tr_ref[:], tg_ref[:], tb_ref[:]
+    mr = jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
+    mg = jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
+    mb = jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
+    rad_r_o[:] = mr
+    rad_g_o[:] = mg
+    rad_b_o[:] = mb
+
+    # ---- K3 shade: RNG stream per (pixel, frame, sample, bounce) ----
+    frame = salt_ref[0, 0]
+    sample = salt_ref[0, 1]
+    bounce = salt_ref[0, 2]
+    pix = px_ref[:]
+    base = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
+    state = _jenkins(base + sample * _u32(_SAMPLE_STRIDE)
+                     + (bounce + _u32(1)) * _u32(_BOUNCE_STRIDE))
+    state, u1 = _next_f32(state)
+    state, u2 = _next_f32(state)
+    state, u3 = _next_f32(state)
+    state, r_reflect = _next_f32(state)
+
+    # unit-ball sample -> normalized to the unit sphere (shade.wgsl:103)
+    rr = jnp.exp(jnp.log(jnp.maximum(u1, 1e-37)) * jnp.float32(0.33333))
+    cos_th = 1.0 - 2.0 * u2
+    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
+    phi = jnp.float32(2.0 * _PI) * u3
+    sx = rr * sin_th * jnp.cos(phi)
+    sy = rr * sin_th * jnp.sin(phi)
+    sz = rr * cos_th
+    s_norm = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-37))
+    sx, sy, sz = sx * s_norm, sy * s_norm, sz * s_norm
+
+    # hit point + outward normal (normal = (p - c) / r)
+    p_x = ox + best_t * dx
+    p_y = oy + best_t * dy
+    p_z = oz + best_t * dz
+    nx = (p_x - b_cx) * b_inv_r
+    ny = (p_y - b_cy) * b_inv_r
+    nz = (p_z - b_cz) * b_inv_r
+    # renormalize (r division is exact only for perfect geometry)
+    n_norm = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-37))
+    nx, ny, nz = nx * n_norm, ny * n_norm, nz * n_norm
+
+    # Lambertian: n + s (degenerate -> n)
+    lx, ly, lz = nx + sx, ny + sy, nz + sz
+    l_len2 = lx * lx + ly * ly + lz * lz
+    degen = l_len2 < 1e-6  # |v| < 1e-3 (shade.wgsl:106)
+    lx = jnp.where(degen, nx, lx)
+    ly = jnp.where(degen, ny, ly)
+    lz = jnp.where(degen, nz, lz)
+
+    # Metal: reflect(d, n) + fuzz * s
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    rfx = dx - 2.0 * d_dot_n * nx
+    rfy = dy - 2.0 * d_dot_n * ny
+    rfz = dz - 2.0 * d_dot_n * nz
+    mx = rfx + b_fuzz * sx
+    my = rfy + b_fuzz * sy
+    mz = rfz + b_fuzz * sz
+
+    # Dielectric (shade.wgsl:115-151); d is unit
+    cos_theta = jnp.minimum(-(d_dot_n), 1.0)
+    outside = cos_theta >= 0.0
+    eta = jnp.where(outside, 1.0 / b_ior, b_ior)
+    fnx = jnp.where(outside, nx, -nx)
+    fny = jnp.where(outside, ny, -ny)
+    fnz = jnp.where(outside, nz, -nz)
+    cos_theta = jnp.abs(cos_theta)
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    one_m = 1.0 - cos_theta
+    om2 = one_m * one_m
+    reflectance = r0 + (1.0 - r0) * om2 * om2 * one_m
+    cos_in = dx * fnx + dy * fny + dz * fnz
+    kk = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+    can_refract = kk >= 0.0
+    coef = eta * cos_in + jnp.sqrt(jnp.maximum(kk, 0.0))
+    refx = eta * dx - coef * fnx
+    refy = eta * dy - coef * fny
+    refz = eta * dz - coef * fnz
+    d_dot_fn = cos_in
+    rlx = dx - 2.0 * d_dot_fn * fnx
+    rly = dy - 2.0 * d_dot_fn * fny
+    rlz = dz - 2.0 * d_dot_fn * fnz
+    take_refract = can_refract & (reflectance <= r_reflect)
+    gx = jnp.where(take_refract, refx, rlx)
+    gy = jnp.where(take_refract, refy, rly)
+    gz = jnp.where(take_refract, refz, rlz)
+
+    is_metal = b_mt == 1.0
+    is_glass = b_mt == 2.0
+    ndx = jnp.where(is_glass, gx, jnp.where(is_metal, mx, lx))
+    ndy = jnp.where(is_glass, gy, jnp.where(is_metal, my, ly))
+    ndz = jnp.where(is_glass, gz, jnp.where(is_metal, mz, lz))
+    inv_len = jax.lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-24))
+    ndx, ndy, ndz = ndx * inv_len, ndy * inv_len, ndz * inv_len
+
+    # write back: hits continue with attenuated throughput
+    ox_o[:] = jnp.where(hit, p_x, ox)
+    oy_o[:] = jnp.where(hit, p_y, oy)
+    oz_o[:] = jnp.where(hit, p_z, oz)
+    dx_o[:] = jnp.where(hit, ndx, dx)
+    dy_o[:] = jnp.where(hit, ndy, dy)
+    dz_o[:] = jnp.where(hit, ndz, dz)
+    tr_o[:] = jnp.where(hit, tr * b_ar, tr)
+    tg_o[:] = jnp.where(hit, tg * b_ag, tg)
+    tb_o[:] = jnp.where(hit, tb * b_ab, tb)
+    alive_o[:] = jnp.where(hit, 1.0, 0.0)
+
+
+def pack_scene(scene_arrays, pad_to: int = 8) -> jnp.ndarray:
+    """Scene SoA tables -> one (S, 16) f32 VMEM plane.
+
+    Columns: 0-2 center xyz, 3 radius, 4-6 albedo rgb, 7 fuzz, 8 ior,
+    9 mat_type (as f32), 10-15 reserved.  Row-major so the kernel's
+    per-sphere scalar reads index the sublane dimension dynamically.
+    Padding rows sit beyond n_spheres and are never read.
+    """
+    centers = scene_arrays["centers"]
+    n = centers.shape[0]
+    s = ((n + pad_to - 1) // pad_to) * pad_to
+    packed = jnp.zeros((s, 16), jnp.float32)
+    packed = packed.at[:n, 0:3].set(centers)
+    packed = packed.at[:n, 3].set(scene_arrays["radii"])
+    packed = packed.at[:n, 4:7].set(scene_arrays["albedo"])
+    packed = packed.at[:n, 7].set(scene_arrays["fuzz"])
+    packed = packed.at[:n, 8].set(scene_arrays["refract_idx"])
+    packed = packed.at[:n, 9].set(scene_arrays["mat_type"].astype(jnp.float32))
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_bounce(
+    scene_packed,  # (16, S) f32
+    n_spheres,     # i32 scalar
+    salts,         # (3,) u32: frame, sample, bounce
+    pix, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive,
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """One extend+shade bounce over (T, 128)-shaped SoA ray planes.
+
+    Returns (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive, rad_r, rad_g,
+    rad_b) with the same shapes.
+    """
+    total_rows = ox.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+    tile = (rows, 128)
+
+    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct(ox.shape, f32) for _ in range(13)]
+
+    outs = pl.pallas_call(
+        bounce_kernel,
+        grid=grid,
+        in_specs=[
+            full,                    # scene
+            smem_i,                  # n_spheres
+            smem_i,                  # salts
+            ray_spec,                # pix
+            *[ray_spec] * 10,
+        ],
+        out_specs=[ray_spec] * 13,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        scene_packed,
+        jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
+        jnp.reshape(salts.astype(jnp.uint32), (1, 3)),
+        pix, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive,
+    )
+    return outs

@@ -28,8 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from wavefront_path_tracer_tpu.models import get_engine
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
@@ -92,10 +92,11 @@ def render_samples_sharded(
             from wavefront_path_tracer_tpu.models.wavefront import trace_wavefront as trace
 
         def one_sample(s, acc):
-            return acc + trace(
+            rad, _ = trace(
                 pixel_idx[0], scene_arrays, cam, view, inv_proj, config,
                 frame, base + jnp.uint32(s),
             )
+            return acc + rad
 
         acc = jnp.zeros((pixel_idx.shape[1], 3), jnp.float32)
         rad = jax.lax.fori_loop(0, samples_per_shard, one_sample, acc)
@@ -115,7 +116,7 @@ def render_samples_sharded(
             P(), P(), P(), P(),
         ),
         out_specs=P("tiles", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     rad = sharded(pixel_idx, scene_arrays, view, inv_proj, frame, sample_base)
     return rad.reshape(config.num_pixels, 3)

@@ -24,7 +24,10 @@ import numpy as np
 from wavefront_path_tracer_tpu.models import get_engine
 from wavefront_path_tracer_tpu.scene.camera import CameraController
 from wavefront_path_tracer_tpu.scene.scene import Scene
+from wavefront_path_tracer_tpu.utils import compile_cache
 from wavefront_path_tracer_tpu.utils.config import RenderConfig, RenderProgress
+
+compile_cache.enable()
 
 
 def prepare_scene(scene: Scene, config: RenderConfig) -> dict:
@@ -62,7 +65,8 @@ class RenderResult:
     accumulated: np.ndarray  # (H, W, 3) radiance sum over samples
     samples: int
     wall_time_s: float
-    mrays_per_s: float       # primary+extension rays traced / wall time
+    mrays_per_s: float       # rays processed by extend+shade / wall time
+    rays_traced: float = 0.0
 
     @property
     def image(self) -> np.ndarray:
@@ -111,7 +115,7 @@ class Renderer:
         # The RNG frame salt stays fixed for a whole accumulation run;
         # progressive SPF batches are distinguished by sample_base, so
         # progressive and batched renders accumulate identical samples.
-        rad = self._engine.render_samples(
+        rad, rays = self._engine.render_samples(
             self.scene_arrays, cam, view, inv_proj, cfg,
             jnp.uint32(cfg.frame),
             jnp.uint32(self.progress.accumulated_samples),
@@ -123,14 +127,13 @@ class Renderer:
         self._accum += np.asarray(rad)
         self.progress.accumulated_samples += n_samples
         self.progress.frame += 1
-        # Ray-count estimate: >= 1 primary ray per pixel per sample; the
-        # true extend+shade ray count is tracked by utils/profiling.
-        mrays = cfg.num_pixels * n_samples / dt / 1e6
+        rays = float(rays)
         return RenderResult(
             accumulated=self._accum.reshape(cfg.height, cfg.width, 3),
             samples=self.progress.accumulated_samples,
             wall_time_s=dt,
-            mrays_per_s=mrays,
+            mrays_per_s=rays / dt / 1e6,
+            rays_traced=rays,
         )
 
     def render(self) -> RenderResult:
