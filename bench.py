@@ -48,9 +48,10 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
     cam = cc.gpu_camera()
     eng = get_engine(engine)
 
-    # Warmup: compile + one small run.
+    # Warmup with the SAME static n_samples as the timed run, so the
+    # timed section never includes compilation.
     rad, rays = eng.render_samples(
-        arrays, cam, view, inv_proj, cfg, jnp.uint32(0), jnp.uint32(0), warmup_spp
+        arrays, cam, view, inv_proj, cfg, jnp.uint32(0), jnp.uint32(0), spp
     )
     jax.block_until_ready(rad)
 

@@ -61,3 +61,14 @@ def test_procedural_scene_scales():
     lo, hi = s.aabbs()
     assert lo.shape == (1001, 3)
     assert (hi >= lo).all()
+
+
+def test_cornell_spheres_material_mix():
+    from wavefront_path_tracer_tpu.scene.scene import cornell_spheres
+
+    s = cornell_spheres()
+    assert s.num_spheres == 65
+    kinds, counts = np.unique(s.mat_type, return_counts=True)
+    frac = dict(zip(kinds.tolist(), (counts / s.num_spheres).tolist()))
+    # Specular-heavy: glass + metal dominate the interior.
+    assert frac.get(DIELECTRIC, 0) + frac.get(METAL, 0) > 0.5

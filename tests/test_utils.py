@@ -1,0 +1,106 @@
+"""Utilities: image IO, checkpointing, profiling, CLI plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wavefront_path_tracer_tpu.utils.image import (
+    display_transform,
+    load_checkpoint,
+    read_png,
+    rmse,
+    save_checkpoint,
+    to_u8,
+    write_png,
+)
+from wavefront_path_tracer_tpu.utils.profiling import (
+    FramesPerSecond,
+    KernelTimer,
+    RenderStats,
+)
+from wavefront_path_tracer_tpu.utils.config import RenderConfig, RenderProgress
+
+
+def test_png_roundtrip(tmp_path):
+    rs = np.random.RandomState(0)
+    img = rs.rand(23, 41, 3).astype(np.float32)
+    path = str(tmp_path / "t.png")
+    write_png(path, img)
+    back = read_png(path)
+    np.testing.assert_array_equal(back, to_u8(img))
+
+
+def test_display_transform_gamma():
+    acc = np.full((4, 4, 3), 4.0, np.float32)
+    img = display_transform(acc, samples=1)
+    np.testing.assert_allclose(img, 2.0)  # sqrt(4)
+    img = display_transform(acc, samples=4)
+    np.testing.assert_allclose(img, 1.0)  # sqrt(4/4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    acc = np.random.RandomState(1).rand(10, 3).astype(np.float32)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, acc, samples=7, frame=3)
+    a, s, f = load_checkpoint(path)
+    np.testing.assert_array_equal(a, acc)
+    assert (s, f) == (7, 3)
+
+
+def test_rmse():
+    a = np.zeros((4, 4))
+    b = np.full((4, 4), 2.0)
+    assert rmse(a, b) == 2.0
+    assert rmse(a, a) == 0.0
+
+
+def test_kernel_timer_running_average():
+    kt = KernelTimer()
+    for v in [0.001, 0.002, 0.003]:
+        kt.record("extend", v)
+    assert abs(kt.averages_us()["extend"] - 2000.0) < 1e-6
+    assert "extend" in kt.report()
+
+
+def test_fps_meter():
+    import time
+
+    fps = FramesPerSecond()
+    fps.update()
+    time.sleep(0.01)
+    fps.update()
+    assert 5.0 < fps.get_avg_fps() < 500.0
+
+
+def test_render_stats():
+    st = RenderStats(rays_traced=3e6, seconds=1.5, samples=2, pixels=1000)
+    assert abs(st.mrays_per_s - 2.0) < 1e-9
+    assert abs(st.avg_bounces - 1500.0) < 1e-9
+    assert "Mrays" in st.report()
+
+
+def test_render_progress():
+    p = RenderProgress()
+    p.accumulated_samples = 5
+    assert p.progress(10) == 0.5
+    assert p.progress(4) == 1.0
+    p.reset()
+    assert p.accumulated_samples == 0
+
+
+def test_config_hashable_and_replace():
+    c = RenderConfig()
+    assert hash(c.replace(width=100)) != hash(c)
+    assert c.replace(width=100).num_pixels == 100 * c.height
+
+
+def test_cli_parser_defaults_match_reference():
+    from wavefront_path_tracer_tpu.cli import build_parser
+
+    args = build_parser().parse_args([])
+    # Reference defaults: SPP=10, SPF=1 (parameters.rs:4-5), 50 bounces
+    # (path_tracer.rs:323), book-one camera (main.rs:23-32).
+    assert args.spp == 10 and args.spf == 1 and args.max_bounces == 50
+    assert args.look_from == [13.0, 2.0, 3.0]
+    assert args.vfov == 20.0 and args.defocus_angle == 0.6

@@ -257,6 +257,295 @@ def bounce_kernel(
     alive_o[:] = jnp.where(hit, 1.0, 0.0)
 
 
+def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
+    """Nearest hit for a ray tile against the VMEM scene.
+
+    Sphere-scalar loop with running winner-attribute selects (see module
+    docstring).  Returns (best_t, cx, cy, cz, 1/r, albedo rgb, fuzz,
+    ior, mat_type) as tile-shaped arrays.
+    """
+    f32 = jnp.float32
+    shape = ox.shape
+    a_q = dx * dx + dy * dy + dz * dz
+
+    def sphere_step(s, carry):
+        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+         b_fuzz, b_ior, b_mt) = carry
+        cx = scn_ref[s, 0]
+        cy = scn_ref[s, 1]
+        cz = scn_ref[s, 2]
+        r = scn_ref[s, 3]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b_q = dx * ocx + dy * ocy + dz * ocz
+        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b_q * b_q - a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b_q - sq) / a_q
+        t2 = (-b_q + sq) / a_q
+        t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+        t = jnp.where(disc >= 0.0, t, T_FAR)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        b_cx = jnp.where(better, cx, b_cx)
+        b_cy = jnp.where(better, cy, b_cy)
+        b_cz = jnp.where(better, cz, b_cz)
+        b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+        b_ar = jnp.where(better, scn_ref[s, 4], b_ar)
+        b_ag = jnp.where(better, scn_ref[s, 5], b_ag)
+        b_ab = jnp.where(better, scn_ref[s, 6], b_ab)
+        b_fuzz = jnp.where(better, scn_ref[s, 7], b_fuzz)
+        b_ior = jnp.where(better, scn_ref[s, 8], b_ior)
+        b_mt = jnp.where(better, scn_ref[s, 9], b_mt)
+        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+                b_fuzz, b_ior, b_mt)
+
+    init = (
+        jnp.full(shape, T_FAR, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.ones(shape, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.zeros(shape, f32), jnp.ones(shape, f32), jnp.zeros(shape, f32),
+    )
+    return jax.lax.fori_loop(0, n_spheres, sphere_step, init)
+
+
+def _shade_tile(pix, frame, sample, bounce,
+                ox, oy, oz, dx, dy, dz,
+                best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt):
+    """Branchless RTIOW shading for a tile (see bounce_kernel docstring).
+
+    Returns (p_x, p_y, p_z, ndx, ndy, ndz): hit point and unit
+    scattered direction.  RNG draws are the shared per-event streams.
+    """
+    base = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
+    state = _jenkins(base + sample * _u32(_SAMPLE_STRIDE)
+                     + (bounce + _u32(1)) * _u32(_BOUNCE_STRIDE))
+    state, u1 = _next_f32(state)
+    state, u2 = _next_f32(state)
+    state, u3 = _next_f32(state)
+    state, r_reflect = _next_f32(state)
+
+    rr = jnp.exp(jnp.log(jnp.maximum(u1, 1e-37)) * jnp.float32(0.33333))
+    cos_th = 1.0 - 2.0 * u2
+    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
+    phi = jnp.float32(2.0 * _PI) * u3
+    sx = rr * sin_th * jnp.cos(phi)
+    sy = rr * sin_th * jnp.sin(phi)
+    sz = rr * cos_th
+    s_norm = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-37))
+    sx, sy, sz = sx * s_norm, sy * s_norm, sz * s_norm
+
+    p_x = ox + best_t * dx
+    p_y = oy + best_t * dy
+    p_z = oz + best_t * dz
+    nx = (p_x - b_cx) * b_inv_r
+    ny = (p_y - b_cy) * b_inv_r
+    nz = (p_z - b_cz) * b_inv_r
+    n_norm = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-37))
+    nx, ny, nz = nx * n_norm, ny * n_norm, nz * n_norm
+
+    lx, ly, lz = nx + sx, ny + sy, nz + sz
+    l_len2 = lx * lx + ly * ly + lz * lz
+    degen = l_len2 < 1e-6
+    lx = jnp.where(degen, nx, lx)
+    ly = jnp.where(degen, ny, ly)
+    lz = jnp.where(degen, nz, lz)
+
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    rfx = dx - 2.0 * d_dot_n * nx
+    rfy = dy - 2.0 * d_dot_n * ny
+    rfz = dz - 2.0 * d_dot_n * nz
+    mx = rfx + b_fuzz * sx
+    my = rfy + b_fuzz * sy
+    mz = rfz + b_fuzz * sz
+
+    cos_theta = jnp.minimum(-(d_dot_n), 1.0)
+    outside = cos_theta >= 0.0
+    eta = jnp.where(outside, 1.0 / b_ior, b_ior)
+    fnx = jnp.where(outside, nx, -nx)
+    fny = jnp.where(outside, ny, -ny)
+    fnz = jnp.where(outside, nz, -nz)
+    cos_theta = jnp.abs(cos_theta)
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    one_m = 1.0 - cos_theta
+    om2 = one_m * one_m
+    reflectance = r0 + (1.0 - r0) * om2 * om2 * one_m
+    cos_in = dx * fnx + dy * fny + dz * fnz
+    kk = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+    can_refract = kk >= 0.0
+    coef = eta * cos_in + jnp.sqrt(jnp.maximum(kk, 0.0))
+    refx = eta * dx - coef * fnx
+    refy = eta * dy - coef * fny
+    refz = eta * dz - coef * fnz
+    rlx = dx - 2.0 * cos_in * fnx
+    rly = dy - 2.0 * cos_in * fny
+    rlz = dz - 2.0 * cos_in * fnz
+    take_refract = can_refract & (reflectance <= r_reflect)
+    gx = jnp.where(take_refract, refx, rlx)
+    gy = jnp.where(take_refract, refy, rly)
+    gz = jnp.where(take_refract, refz, rlz)
+
+    is_metal = b_mt == 1.0
+    is_glass = b_mt == 2.0
+    ndx = jnp.where(is_glass, gx, jnp.where(is_metal, mx, lx))
+    ndy = jnp.where(is_glass, gy, jnp.where(is_metal, my, ly))
+    ndz = jnp.where(is_glass, gz, jnp.where(is_metal, mz, lz))
+    inv_len = jax.lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-24))
+    return p_x, p_y, p_z, ndx * inv_len, ndy * inv_len, ndz * inv_len
+
+
+def megakernel_tile(
+    scn_ref,       # (S, 16) f32 VMEM
+    nsph_ref,      # (1, 1) i32 SMEM
+    salt_ref,      # (1, 3) u32 SMEM: frame, sample_base, max_bounces
+    px_ref,        # (rows, 128) u32   [per tile]
+    alive0_ref,    # (rows, 128) f32   [per tile]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, rows, 128) [per (sample, tile)]
+    rad_r_o, rad_g_o, rad_b_o,  # (rows, 128) f32 accumulators [per tile]
+    rays_o,        # (rows, 128) f32 aux tile; live-ray count lands in [0, 0]
+):
+    """Whole-path megakernel for one (tile, sample) grid step.
+
+    Grid = (n_tiles, n_samples), sample minor: the radiance block for a
+    tile stays VMEM-resident while all its samples accumulate into it.
+    Each step runs the full bounce loop for its tile with a tile-local
+    early exit — a tile whose 1024 rays are all dead stops paying for
+    the scene loop, unlike a global masked bounce loop.
+    """
+    sample_id = pl.program_id(1)
+    frame = salt_ref[0, 0]
+    sample = salt_ref[0, 1] + sample_id.astype(jnp.uint32)
+    max_bounces = salt_ref[0, 2]
+    n_spheres = nsph_ref[0, 0]
+    pix = px_ref[:]
+
+    @pl.when(sample_id == 0)
+    def _():
+        rad_r_o[:] = jnp.zeros_like(rad_r_o)
+        rad_g_o[:] = jnp.zeros_like(rad_g_o)
+        rad_b_o[:] = jnp.zeros_like(rad_b_o)
+        rays_o[:] = jnp.zeros_like(rays_o)
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    shape = ox.shape
+    ones = jnp.ones(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    # NOTE: the alive mask is carried as f32 — Mosaic fails to legalize
+    # while_loop carries containing i1 vectors (scf.yield legalization).
+    state0 = (jnp.uint32(0), ox, oy, oz, dx, dy, dz,
+              ones, ones, ones,                 # throughput
+              alive0_ref[:],                    # alive (f32 0/1)
+              zeros, zeros, zeros,              # radiance
+              jnp.float32(0.0))                 # live-ray count
+
+    def cond(c):
+        bounce, alive_f = c[0], c[10]
+        return (bounce < max_bounces) & (jnp.sum(alive_f) > 0.0)
+
+    def body(c):
+        (bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f,
+         rr_acc, rg_acc, rb_acc, nrays) = c
+        alive = alive_f > 0
+        nrays = nrays + jnp.sum(alive_f)
+
+        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+         b_fuzz, b_ior, b_mt) = _intersect_tile(
+            scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
+
+        hit = (best_t < T_FAR) & alive
+        missed = alive & ~hit
+        sky_a = 0.5 * (dy + 1.0)
+        rr_acc = rr_acc + jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
+        rg_acc = rg_acc + jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
+        rb_acc = rb_acc + jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
+
+        p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
+            pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
+            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt)
+
+        ox = jnp.where(hit, p_x, ox)
+        oy = jnp.where(hit, p_y, oy)
+        oz = jnp.where(hit, p_z, oz)
+        dx = jnp.where(hit, ndx, dx)
+        dy = jnp.where(hit, ndy, dy)
+        dz = jnp.where(hit, ndz, dz)
+        tr = jnp.where(hit, tr * b_ar, tr)
+        tg = jnp.where(hit, tg * b_ag, tg)
+        tb = jnp.where(hit, tb * b_ab, tb)
+        return (bounce + jnp.uint32(1), ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                jnp.where(hit, 1.0, 0.0), rr_acc, rg_acc, rb_acc, nrays)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    rad_r_o[:] = rad_r_o[:] + final[11]
+    rad_g_o[:] = rad_g_o[:] + final[12]
+    rad_b_o[:] = rad_b_o[:] + final[13]
+    # Scalar VMEM stores are unsupported; deposit the count at [0, 0]
+    # via a masked vector add (the rest of the aux tile stays 0).
+    row_id = jax.lax.broadcasted_iota(jnp.int32, rays_o.shape, 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, rays_o.shape, 1)
+    first = (row_id == 0) & (col_id == 0)
+    rays_o[:] = rays_o[:] + jnp.where(first, final[14], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_render(
+    scene_packed,   # (S, 16) f32
+    n_spheres,      # i32 scalar
+    salts,          # (3,) u32: frame, sample_base, max_bounces
+    pix,            # (rows_total, 128) u32
+    alive0,         # (rows_total, 128) f32
+    ox, oy, oz, dx, dy, dz,  # (n_samples, rows_total, 128) f32
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """All samples x all bounces in one Pallas call.
+
+    Returns (rad_r, rad_g, rad_b (rows_total, 128), rays_per_tile
+    (n_tiles, 1)).
+    """
+    n_samples, total_rows, _ = ox.shape
+    assert total_rows % rows == 0
+    n_tiles = total_rows // rows
+    grid = (n_tiles, n_samples)
+
+    tile_spec = pl.BlockSpec((rows, 128), lambda t, s: (t, 0),
+                             memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, rows, 128), lambda t, s: (s, t, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        megakernel_tile,
+        grid=grid,
+        in_specs=[
+            full, smem_i, smem_i,
+            tile_spec,          # pix
+            tile_spec,          # alive0
+            *[ray_spec] * 6,    # ox..dz
+        ],
+        out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((total_rows, 128), f32),
+            jax.ShapeDtypeStruct((total_rows, 128), f32),
+            jax.ShapeDtypeStruct((total_rows, 128), f32),
+            jax.ShapeDtypeStruct((total_rows, 128), f32),
+        ],
+        interpret=interpret,
+    )(
+        scene_packed,
+        jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
+        jnp.reshape(salts.astype(jnp.uint32), (1, 3)),
+        pix, alive0, ox, oy, oz, dx, dy, dz,
+    )
+    return outs
+
+
 def pack_scene(scene_arrays, pad_to: int = 8) -> jnp.ndarray:
     """Scene SoA tables -> one (S, 16) f32 VMEM plane.
 

@@ -201,10 +201,49 @@ def procedural_spheres(n: int = 10_000, seed: int = 7, extent: float = 50.0) -> 
     return b.build()
 
 
+def cornell_spheres(seed: int = 11) -> Scene:
+    """Dielectric/metal-heavy enclosed scene (BASELINE.json config 3).
+
+    A Cornell-style box built from five giant Lambertian spheres (walls
+    look locally flat) enclosing a dense cluster of glass and mirror
+    spheres — stresses long specular bounce chains and the per-material
+    shade paths.  No reference analog; sized so paths frequently reach
+    the bounce cap.
+    """
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    r_wall = 1000.0
+    half = 3.0  # box half-extent
+    white = b.lambertian([0.73, 0.73, 0.73])
+    red = b.lambertian([0.65, 0.05, 0.05])
+    green = b.lambertian([0.12, 0.45, 0.15])
+    b.sphere([0.0, -r_wall, 0.0], r_wall, white)              # floor y=0
+    b.sphere([0.0, r_wall + 2 * half, 0.0], r_wall, white)    # ceiling
+    b.sphere([0.0, half, -r_wall - half], r_wall, white)      # back
+    b.sphere([-r_wall - half, half, 0.0], r_wall, red)        # left
+    b.sphere([r_wall + half, half, 0.0], r_wall, green)       # right
+
+    for _ in range(60):
+        center = [rng.uniform(-0.7, 0.7) * half,
+                  rng.uniform(0.1, 1.2) * half,
+                  rng.uniform(-0.7, 0.7) * half]
+        radius = rng.uniform(0.15, 0.45)
+        k = rng.rand()
+        if k < 0.45:
+            m = b.dielectric(1.5)
+        elif k < 0.9:
+            m = b.metal(0.6 + 0.4 * rng.rand(3), 0.1 * rng.rand())
+        else:
+            m = b.lambertian(rng.rand(3))
+        b.sphere(center, radius, m)
+    return b.build()
+
+
 _SCENES = {
     "book_cover": book_cover,
     "book_one_final": book_one_final,
     "procedural": procedural_spheres,
+    "cornell_spheres": cornell_spheres,
 }
 
 
