@@ -77,16 +77,20 @@ def main() -> None:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--spp", type=int, default=8)
-    p.add_argument("--engine", default="wavefront")
-    p.add_argument("--intersector", default="bvh")
+    p.add_argument("--engine", default="fused")
+    p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
     if args.all:
         best = None
-        for engine in ("wavefront", "megakernel"):
-            for intersector in ("bvh", "bruteforce"):
+        for engine, intersectors in (
+            ("fused", ("baked", "bruteforce")),
+            ("wavefront", ("bvh", "bruteforce")),
+            ("megakernel", ("bvh", "bruteforce")),
+        ):
+            for intersector in intersectors:
                 try:
                     r = bench_once(args.scene, args.width, args.height, args.spp,
                                    engine, intersector, args.max_bounces)

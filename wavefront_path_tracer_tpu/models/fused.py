@@ -2,87 +2,155 @@
 
 Same integrator semantics as the wavefront engine (generate / extend /
 shade / miss / accumulate; reference ``path_tracer.rs:279-371``) but the
-entire sample-and-bounce nest runs in ONE Pallas call
-(``ops/pallas_kernels.fused_render``): grid = (image tiles, samples),
-each grid step traces a 1024-ray tile's full path with the scene
-VMEM-resident and accumulates radiance into a tile block that never
-leaves VMEM between samples.  Rationale (measured on the target device):
+entire render runs as ONE Pallas call with *persistent lanes*
+(``ops/pallas_kernels.persistent_tile``): the grid walks 1024-ray image
+tiles; within a tile every lane traces its pixel's samples back to back,
+regenerating its next primary ray in-kernel the moment its current path
+terminates.  Rationale (measured on the target device):
 
 * HBM streaming is ~2 orders slower than VPU compute here, so the XLA
   engines — which materialize (rays x spheres) intermediates and sort
-  queues in HBM — are bandwidth-bound.  The megakernel's HBM traffic is
-  just the primary rays in and the radiance tiles out.
+  queues in HBM — are bandwidth-bound.  This kernel's HBM traffic is
+  four small input planes and four output planes per tile; scene and all
+  path state live in VMEM/registers.
 * Queue compaction (a ~2 ms device sort per bounce) costs more than the
-  dead lanes it removes; instead each tile's bounce loop exits as soon
-  as all of its own 1024 rays are dead (sky tiles stop after bounce 1).
+  dead lanes it removes; persistent lanes solve the utilization problem
+  the opposite way — there *are* no dead lanes until the final tail,
+  because a terminated lane immediately starts its next sample (lanes
+  are independent: RNG streams are keyed per (pixel, sample, bounce)).
 
-Primary rays are generated by the same XLA ``generate_rays`` as the
-other engines, so camera sampling is bit-identical; in-kernel shading
-uses the same integer PCG streams but Mosaic's transcendental lowering
-may differ by ULPs from XLA's, so cross-engine image parity is
-statistical (RMSE), not bitwise.
+The RNG is integer-exact with the other engines; camera and shading
+float math runs through Mosaic's lowering, which may differ by ULPs
+from XLA's, so cross-engine image parity is statistical (RMSE), not
+bitwise.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from wavefront_path_tracer_tpu.ops.pallas_kernels import fused_render, pack_scene
-from wavefront_path_tracer_tpu.ops.raygen import generate_rays
+from wavefront_path_tracer_tpu.ops.pallas_kernels import (
+    baked_intersect,
+    fused_render_baked,
+    fused_render_persistent,
+    pack_scene,
+)
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
 
 _LANES = 128
 _TILE_ROWS = 8
 
+# Scene-baked intersect closures, keyed by scene fingerprint: the same
+# function object must be reused so jit's static-arg cache (and the
+# persistent compile cache) hit.
+_BAKED_CACHE: dict = {}
 
-def _planes(x, rows_total):
-    """(S, N) -> (S, rows_total, 128), zero-padded."""
-    s, n = x.shape
+
+def _plane(x, rows_total):
+    n = x.shape[0]
     pad = rows_total * _LANES - n
-    x = jnp.concatenate([x, jnp.zeros((s, pad), x.dtype)], axis=1)
-    return x.reshape(s, rows_total, _LANES)
+    x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x.reshape(rows_total, _LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
+def _baked_fn(scene_arrays):
+    centers = np.asarray(scene_arrays["centers"])
+    key = (centers.shape[0], hash(centers.tobytes()),
+           hash(np.asarray(scene_arrays["albedo"]).tobytes()))
+    fn = _BAKED_CACHE.get(key)
+    if fn is None:
+        fn = baked_intersect(
+            centers,
+            np.asarray(scene_arrays["radii"]),
+            np.asarray(scene_arrays["albedo"]),
+            np.asarray(scene_arrays["fuzz"]),
+            np.asarray(scene_arrays["refract_idx"]),
+            np.asarray(scene_arrays["mat_type"]),
+        )
+        _BAKED_CACHE[key] = fn
+    return fn
+
+
 def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                    frame, sample_base, n_samples: int):
-    """Sum of ``n_samples`` radiance samples; ((P, 3), rays_traced)."""
+    """Sum of ``n_samples`` radiance samples; ((P, 3), rays_traced).
+
+    With ``config.intersector == "baked"`` the sphere loop is unrolled
+    with the scene as compile-time constants (fastest; per-scene compile,
+    persistently cached).  Otherwise the scene stays a VMEM table.
+    """
+    if config.intersector == "baked":
+        return _render_samples_impl(
+            scene_arrays, cam, view, inv_proj, config, frame, sample_base,
+            n_samples, baked_fn=_baked_fn(scene_arrays),
+        )
+    return _render_samples_impl(
+        scene_arrays, cam, view, inv_proj, config, frame, sample_base,
+        n_samples, baked_fn=None,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "config", "n_samples", "baked_fn")
+)
+def _render_samples_impl(scene_arrays, cam, view, inv_proj,
+                         config: RenderConfig, frame, sample_base,
+                         n_samples: int, baked_fn=None):
     interpret = jax.default_backend() == "cpu"
     num_pixels = config.num_pixels
     rows = -(-num_pixels // _LANES)
     rows_total = -(-rows // _TILE_ROWS) * _TILE_ROWS
+
     pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
-
-    # K1 generate, batched over the sample axis (bit-identical camera
-    # sampling with the XLA engines).
-    samples = sample_base + jnp.arange(n_samples, dtype=jnp.uint32)
-    origin, direction = jax.vmap(
-        lambda s: generate_rays(
-            pixel_idx, config.width, config.height, frame, s, cam, view, inv_proj
-        )
-    )(samples)  # (S, N, 3) each
-
-    ox, oy, oz = (_planes(origin[..., i], rows_total) for i in range(3))
-    dx, dy, dz = (_planes(direction[..., i], rows_total) for i in range(3))
-    pix = _planes(pixel_idx[None], rows_total)[0]
+    pix = _plane(pixel_idx, rows_total)
+    xs = _plane((pixel_idx % config.width).astype(jnp.float32), rows_total)
+    ys = _plane((pixel_idx // config.width).astype(jnp.float32), rows_total)
     lane = jnp.arange(rows_total * _LANES).reshape(rows_total, _LANES)
-    alive0 = (lane < num_pixels).astype(jnp.float32)
+    valid = (lane < num_pixels).astype(jnp.float32)
 
-    scene_packed = pack_scene(scene_arrays)
-    n_spheres = jnp.int32(scene_arrays["centers"].shape[0])
+    # Camera scalars for in-kernel raygen (layout: _raygen_tile docstring).
+    # Recover scales from the inverse projection we were handed, so the
+    # kernel and the XLA raygen agree on the exact same camera model:
+    # inv_proj[0,0] = w, [1,1] = h; the w-component of an unprojected
+    # (ndc,1,1) is m[3,2] + m[3,3] = 1/z_far (see scene/camera.py).
+    w_s = inv_proj[0, 0]
+    h_s = inv_proj[1, 1]
+    z_far = 1.0 / (inv_proj[3, 2] + inv_proj[3, 3])
+    rot = view[:3, :3]
+    cam_params = jnp.concatenate([
+        rot.reshape(-1),
+        view[:3, 3],
+        jnp.stack([
+            w_s, h_s, z_far,
+            jnp.float32(cam.defocus_radius), jnp.float32(cam.focus_distance),
+            jnp.float32(config.width), jnp.float32(config.height),
+        ]),
+        jnp.zeros((5,), jnp.float32),
+    ]).astype(jnp.float32)
+
     salts = jnp.stack([
         jnp.uint32(frame), jnp.uint32(sample_base),
-        jnp.uint32(config.max_bounces),
+        jnp.uint32(config.max_bounces), jnp.uint32(n_samples),
     ])
 
-    rad_r, rad_g, rad_b, rays = fused_render(
-        scene_packed, n_spheres, salts, pix, alive0,
-        ox, oy, oz, dx, dy, dz,
-        rows=_TILE_ROWS, interpret=interpret,
-    )
+    if baked_fn is not None:
+        rad_r, rad_g, rad_b, rays = fused_render_baked(
+            baked_fn, salts, cam_params, pix, xs, ys, valid,
+            rows=_TILE_ROWS, interpret=interpret,
+        )
+    else:
+        scene_packed = pack_scene(scene_arrays)
+        n_spheres = jnp.int32(scene_arrays["centers"].shape[0])
+        rad_r, rad_g, rad_b, rays = fused_render_persistent(
+            scene_packed, n_spheres, salts, cam_params,
+            pix, xs, ys, valid,
+            rows=_TILE_ROWS, interpret=interpret,
+        )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
     )[:num_pixels]

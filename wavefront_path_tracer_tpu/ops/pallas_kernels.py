@@ -546,6 +546,356 @@ def fused_render(
     return outs
 
 
+def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
+    """In-kernel primary-ray generation (the reference's K1,
+    generate_rays.wgsl:42-91), elementwise over a tile.
+
+    ``sample`` may vary per lane — this is what enables persistent
+    lanes: a dead lane regenerates its own next sample without any
+    cross-lane gather.  Math mirrors ops/raygen.py; only float ULPs may
+    differ from the XLA version.
+
+    cam_ref layout (1, 24) f32: [0:9] view rotation row-major, [9:12]
+    camera position, [12] w_scale, [13] h_scale, [14] z_far,
+    [15] defocus_radius, [16] focus_distance, [17] width, [18] height.
+    """
+    state = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
+    state = _jenkins(state + sample * _u32(_SAMPLE_STRIDE))  # bounce slot 0
+    state, u1 = _next_f32(state)
+    state, u2 = _next_f32(state)
+    state, u3 = _next_f32(state)
+    state, u4 = _next_f32(state)
+
+    r_aa = jnp.sqrt(u1)
+    a_aa = jnp.float32(2.0 * _PI) * u2
+    ox_j = r_aa * jnp.cos(a_aa)
+    oy_j = r_aa * jnp.sin(a_aa)
+
+    width = cam_ref[0, 17]
+    height = cam_ref[0, 18]
+    ndc_x = 2.0 * ((xs + ox_j) / width) - 1.0
+    ndc_y = 2.0 * (1.0 - (ys + oy_j) / height) - 1.0
+
+    zf = cam_ref[0, 14]
+    ppx = cam_ref[0, 12] * ndc_x * zf
+    ppy = cam_ref[0, 13] * ndc_y * zf
+    ppz = jnp.full_like(ppx, zf)
+
+    # Thin lens (generate_rays.wgsl:73-82), branchless: radius 0 makes
+    # the lens jitter vanish and tf rescales pp (direction-invariant).
+    dr = cam_ref[0, 15]
+    r_l = jnp.sqrt(u3)
+    a_l = jnp.float32(2.0 * _PI) * u4
+    plx = dr * (r_l * jnp.cos(a_l))
+    ply = dr * (r_l * jnp.sin(a_l))
+    tf = cam_ref[0, 16] / ppz
+    ppx = tf * ppx - plx
+    ppy = tf * ppy - ply
+    ppz = tf * ppz
+
+    r00, r01, r02 = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    r10, r11, r12 = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    r20, r21, r22 = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    ox = r00 * plx + r01 * ply + cam_ref[0, 9]
+    oy = r10 * plx + r11 * ply + cam_ref[0, 10]
+    oz = r20 * plx + r21 * ply + cam_ref[0, 11]
+    dx = r00 * ppx + r01 * ppy + r02 * ppz
+    dy = r10 * ppx + r11 * ppy + r12 * ppz
+    dz = r20 * ppx + r21 * ppy + r22 * ppz
+    inv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-37))
+    return ox, oy, oz, dx * inv, dy * inv, dz * inv
+
+
+def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
+    """Build an intersect function with the scene baked as immediates.
+
+    Dynamic per-sphere scalar VMEM loads dominate the sphere loop's
+    runtime (~10 loads/iteration, each tens of cycles and serializing).
+    Scenes are constant across a whole render, so instead we unroll the
+    loop at trace time with every sphere's data as compile-time
+    constants — zero loads, pure vector ALU.  The (per-scene) compile is
+    amortized by the persistent compilation cache.
+
+    Takes *numpy* scene arrays; returns f(ox..dz) -> same tuple as
+    _intersect_tile.
+    """
+    import numpy as np
+
+    n = centers.shape[0]
+    sph = [
+        (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
+         float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
+         float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
+         float(mat_type[i]))
+        for i in range(n)
+    ]
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        f32 = jnp.float32
+        shape = ox.shape
+        a_q = dx * dx + dy * dy + dz * dz
+        best_t = jnp.full(shape, T_FAR, f32)
+        b_cx = jnp.zeros(shape, f32)
+        b_cy = jnp.zeros(shape, f32)
+        b_cz = jnp.zeros(shape, f32)
+        b_inv_r = jnp.ones(shape, f32)
+        b_ar = jnp.zeros(shape, f32)
+        b_ag = jnp.zeros(shape, f32)
+        b_ab = jnp.zeros(shape, f32)
+        b_fuzz = jnp.zeros(shape, f32)
+        b_ior = jnp.ones(shape, f32)
+        b_mt = jnp.zeros(shape, f32)
+        for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b_q = dx * ocx + dy * ocy + dz * ocz
+            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_q * b_q - a_q * c_q
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b_q - sq) / a_q
+            t2 = (-b_q + sq) / a_q
+            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            t = jnp.where(disc >= 0.0, t, T_FAR)
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            b_cx = jnp.where(better, cx, b_cx)
+            b_cy = jnp.where(better, cy, b_cy)
+            b_cz = jnp.where(better, cz, b_cz)
+            b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+            b_ar = jnp.where(better, ar, b_ar)
+            b_ag = jnp.where(better, ag, b_ag)
+            b_ab = jnp.where(better, ab, b_ab)
+            b_fuzz = jnp.where(better, fz, b_fuzz)
+            b_ior = jnp.where(better, ior, b_ior)
+            b_mt = jnp.where(better, mt, b_mt)
+        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+                b_fuzz, b_ior, b_mt)
+
+    return intersect
+
+
+def make_persistent_tile(intersect_fn=None):
+    """Build the persistent-lane kernel.
+
+    With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
+    inputs and runs the dynamic sphere loop; with a baked intersect
+    function those inputs are dropped and the scene is in the code.
+    """
+    baked = intersect_fn is not None
+
+    def kernel(*refs):
+        if baked:
+            (salt_ref, cam_ref, px_ref, xs_ref, ys_ref, valid_ref,
+             rad_r_o, rad_g_o, rad_b_o, rays_o) = refs
+            intersect = intersect_fn
+        else:
+            (scn_ref, nsph_ref, salt_ref, cam_ref, px_ref, xs_ref, ys_ref,
+             valid_ref, rad_r_o, rad_g_o, rad_b_o, rays_o) = refs
+            n_spheres = nsph_ref[0, 0]
+
+            def intersect(ox, oy, oz, dx, dy, dz):
+                return _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
+
+        _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
+                         ys_ref, valid_ref, rad_r_o, rad_g_o, rad_b_o, rays_o)
+
+    return kernel
+
+
+def _persistent_impl(
+    intersect_fn,
+    salt_ref,      # (1, 4) u32 SMEM: frame, sample_base, max_bounces, n_samples
+    cam_ref,       # (1, 24) f32 VMEM camera params (see _raygen_tile)
+    px_ref,        # (rows, 128) u32
+    xs_ref, ys_ref,  # (rows, 128) f32 pixel coordinates
+    valid_ref,     # (rows, 128) f32: 1 for real pixels, 0 for padding
+    rad_r_o, rad_g_o, rad_b_o, rays_o,  # (rows, 128) f32
+):
+    """Persistent-lane megakernel body: renders ALL samples of a tile.
+
+    Unlike a lockstep per-sample bounce loop — where one straggler path
+    keeps 1023 dead lanes paying for the scene loop — every lane here
+    starts its own next sample the moment its path terminates (in-kernel
+    raygen; RNG streams are per (pixel, sample, bounce), so lanes are
+    independent by construction).  Lane utilization stays ~100% until
+    the tail of the very last samples.
+    """
+    frame = salt_ref[0, 0]
+    sample_base = salt_ref[0, 1]
+    max_bounces = salt_ref[0, 2]
+    n_samples = salt_ref[0, 3]
+    pix = px_ref[:]
+    xs = xs_ref[:]
+    ys = ys_ref[:]
+    valid = valid_ref[:] > 0
+    shape = pix.shape
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    u0 = jnp.zeros(shape, jnp.uint32)
+    # s_lane: per-lane sample counter; padding lanes start exhausted.
+    s0 = jnp.where(valid, u0, jnp.broadcast_to(n_samples, shape))
+    state0 = (
+        s0, u0,                       # s_lane, bounce_lane
+        zeros, zeros, zeros,          # origin
+        zeros, zeros, jnp.ones(shape, jnp.float32),  # direction (unit-ish)
+        zeros, zeros, zeros,          # throughput
+        zeros,                        # alive (f32; all start dead -> raygen)
+        zeros, zeros, zeros,          # radiance accum
+        jnp.float32(0.0),             # live-ray count
+    )
+
+    def cond(c):
+        s_lane, alive_f = c[0], c[11]
+        pending = jnp.where(s_lane < n_samples, 1.0, 0.0)
+        return jnp.sum(pending) + jnp.sum(alive_f) > 0.0
+
+    def body(c):
+        (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+         alive_f, rr_acc, rg_acc, rb_acc, nrays) = c
+        alive = alive_f > 0
+
+        # Restart finished lanes on their next sample.
+        start = (~alive) & (s_lane < n_samples)
+        sample = sample_base + s_lane
+        gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
+            xs, ys, pix, frame, sample, cam_ref)
+        ox = jnp.where(start, gox, ox)
+        oy = jnp.where(start, goy, oy)
+        oz = jnp.where(start, goz, oz)
+        dx = jnp.where(start, gdx, dx)
+        dy = jnp.where(start, gdy, dy)
+        dz = jnp.where(start, gdz, dz)
+        tr = jnp.where(start, 1.0, tr)
+        tg = jnp.where(start, 1.0, tg)
+        tb = jnp.where(start, 1.0, tb)
+        bounce = jnp.where(start, u0, bounce)
+        alive = alive | start
+        nrays = nrays + jnp.sum(jnp.where(alive, 1.0, 0.0))
+
+        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+         b_fuzz, b_ior, b_mt) = intersect_fn(ox, oy, oz, dx, dy, dz)
+
+        hit = (best_t < T_FAR) & alive
+        missed = alive & ~hit
+        sky_a = 0.5 * (dy + 1.0)
+        rr_acc = rr_acc + jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
+        rg_acc = rg_acc + jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
+        rb_acc = rb_acc + jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
+
+        p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
+            pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
+            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt)
+
+        ox = jnp.where(hit, p_x, ox)
+        oy = jnp.where(hit, p_y, oy)
+        oz = jnp.where(hit, p_z, oz)
+        dx = jnp.where(hit, ndx, dx)
+        dy = jnp.where(hit, ndy, dy)
+        dz = jnp.where(hit, ndz, dz)
+        tr = jnp.where(hit, tr * b_ar, tr)
+        tg = jnp.where(hit, tg * b_ag, tg)
+        tb = jnp.where(hit, tb * b_ab, tb)
+        bounce = bounce + _u32(1)
+        # A path dies on miss or at the bounce cap; its lane moves on.
+        still_alive = hit & (bounce < max_bounces)
+        died = alive & ~still_alive
+        s_lane = jnp.where(died, s_lane + _u32(1), s_lane)
+        return (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                jnp.where(still_alive, 1.0, 0.0),
+                rr_acc, rg_acc, rb_acc, nrays)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    rad_r_o[:] = final[12]
+    rad_g_o[:] = final[13]
+    rad_b_o[:] = final[14]
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    first = (row_id == 0) & (col_id == 0)
+    rays_o[:] = jnp.where(first, final[15], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_render_persistent(
+    scene_packed,   # (S, 16) f32
+    n_spheres,      # i32 scalar
+    salts,          # (4,) u32: frame, sample_base, max_bounces, n_samples
+    cam_params,     # (24,) f32
+    pix, xs, ys, valid,  # (rows_total, 128)
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """All samples x all bounces, persistent lanes, one Pallas call.
+
+    Returns (rad_r, rad_g, rad_b, rays_aux), each (rows_total, 128);
+    rays_aux holds per-tile live-ray counts at [8k, 0].
+    """
+    total_rows = pix.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+
+    tile_spec = pl.BlockSpec((rows, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        make_persistent_tile(),
+        grid=grid,
+        in_specs=[full, smem_i, smem_i, full,
+                  tile_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
+        interpret=interpret,
+    )(
+        scene_packed,
+        jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
+        jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
+        jnp.reshape(cam_params.astype(f32), (1, 24)),
+        pix, xs, ys, valid,
+    )
+    return outs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baked_fn", "rows", "interpret")
+)
+def fused_render_baked(
+    baked_fn,       # hashable intersect closure from baked_intersect()
+    salts,          # (4,) u32
+    cam_params,     # (24,) f32
+    pix, xs, ys, valid,  # (rows_total, 128)
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """Persistent-lane render with the scene baked into the kernel."""
+    total_rows = pix.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+
+    tile_spec = pl.BlockSpec((rows, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        make_persistent_tile(baked_fn),
+        grid=grid,
+        in_specs=[smem_i, full,
+                  tile_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
+        interpret=interpret,
+    )(
+        jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
+        jnp.reshape(cam_params.astype(f32), (1, 24)),
+        pix, xs, ys, valid,
+    )
+    return outs
+
+
 def pack_scene(scene_arrays, pad_to: int = 8) -> jnp.ndarray:
     """Scene SoA tables -> one (S, 16) f32 VMEM plane.
 
