@@ -102,9 +102,10 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
                          n_samples: int, baked_fn=None):
     interpret = jax.default_backend() == "cpu"
+    tile_rows = config.tile_rows
     num_pixels = config.num_pixels
     rows = -(-num_pixels // _LANES)
-    rows_total = -(-rows // _TILE_ROWS) * _TILE_ROWS
+    rows_total = -(-rows // tile_rows) * tile_rows
 
     pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
     pix = _plane(pixel_idx, rows_total)
@@ -141,7 +142,7 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
     if baked_fn is not None:
         rad_r, rad_g, rad_b, rays = fused_render_baked(
             baked_fn, salts, cam_params, pix, xs, ys, valid,
-            rows=_TILE_ROWS, interpret=interpret,
+            rows=tile_rows, interpret=interpret,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -149,7 +150,7 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
         rad_r, rad_g, rad_b, rays = fused_render_persistent(
             scene_packed, n_spheres, salts, cam_params,
             pix, xs, ys, valid,
-            rows=_TILE_ROWS, interpret=interpret,
+            rows=tile_rows, interpret=interpret,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

@@ -56,8 +56,9 @@ def _leaf_sphere_t(origin, direction, centers, radii, first, k):
     cc = jnp.sum(oc * oc, axis=-1) - r * r
     disc = b * b - a * cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / a
-    t2 = (-b + sq) / a
+    inv_a = 1.0 / a
+    t1 = (-b - sq) * inv_a
+    t2 = (-b + sq) * inv_a
     t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
     return jnp.where(disc >= 0.0, t, T_FAR), idx
 

@@ -46,8 +46,9 @@ def _sphere_hit_t(origin, direction, centers, radii):
     c = jnp.sum(oc * oc, axis=-1) - (radii * radii)[None, :]
     disc = b * b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / a
-    t2 = (-b + sq) / a
+    inv_a = 1.0 / a
+    t1 = (-b - sq) * inv_a
+    t2 = (-b + sq) * inv_a
     t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
     valid = (disc >= 0.0) & (radii[None, :] > 0.0)  # r<=0 marks padding
     return jnp.where(valid, t, T_FAR)

@@ -98,6 +98,7 @@ def bounce_kernel(
     # ---- extend: nearest hit over all spheres (sphere-scalar loop) ----
     shape = ox.shape
     a_q = dx * dx + dy * dy + dz * dz  # ~1 (normalized), kept for exactness
+    inv_a = 1.0 / a_q  # hoisted out of the sphere loop
 
     def sphere_step(s, carry):
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
@@ -113,8 +114,8 @@ def bounce_kernel(
         c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b_q * b_q - a_q * c_q
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b_q - sq) / a_q
-        t2 = (-b_q + sq) / a_q
+        t1 = (-b_q - sq) * inv_a
+        t2 = (-b_q + sq) * inv_a
         t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
         t = jnp.where(disc >= 0.0, t, T_FAR)
         better = t < best_t
@@ -267,6 +268,7 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
     f32 = jnp.float32
     shape = ox.shape
     a_q = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a_q  # hoisted out of the sphere loop
 
     def sphere_step(s, carry):
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
@@ -282,8 +284,8 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
         c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b_q * b_q - a_q * c_q
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b_q - sq) / a_q
-        t2 = (-b_q + sq) / a_q
+        t1 = (-b_q - sq) * inv_a
+        t2 = (-b_q + sq) * inv_a
         t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
         t = jnp.where(disc >= 0.0, t, T_FAR)
         better = t < best_t
@@ -634,6 +636,7 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
         f32 = jnp.float32
         shape = ox.shape
         a_q = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a_q  # hoisted: two divides per sphere -> two mults
         best_t = jnp.full(shape, T_FAR, f32)
         b_cx = jnp.zeros(shape, f32)
         b_cy = jnp.zeros(shape, f32)
@@ -653,8 +656,8 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
             c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
             disc = b_q * b_q - a_q * c_q
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = (-b_q - sq) / a_q
-            t2 = (-b_q + sq) / a_q
+            t1 = (-b_q - sq) * inv_a
+            t2 = (-b_q + sq) * inv_a
             t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
             t = jnp.where(disc >= 0.0, t, T_FAR)
             better = t < best_t

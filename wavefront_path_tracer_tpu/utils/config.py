@@ -33,6 +33,7 @@ class RenderConfig:
     intersector: str = "bruteforce"    # "bruteforce" | "bvh"
     ray_chunk: int = 0                 # 0 = whole wavefront in one chunk
     sphere_chunk: int = 128            # spheres per intersection block
+    tile_rows: int = 8                 # fused engine: tile = tile_rows x 128 rays
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination instead of the reference's lossy `misses < 128`
