@@ -121,3 +121,13 @@ def test_drain_threshold_biases_but_runs(book_cover_scene, oracle_result):
     assert np.isfinite(wf.accumulated).all()
     # Early drain loses energy relative to exact termination.
     assert wf.accumulated.sum() <= oracle_result.accumulated.sum() + 1e-3
+
+
+def test_material_split_identical(book_cover_scene, oracle_result):
+    """Per-material shade split (reference TODO) matches the fused-shade
+    path bit-for-bit: same draws, same math, different partitioning."""
+    wf = _render(
+        book_cover_scene, _cover_camera(),
+        BASE.replace(engine="wavefront", material_split=True),
+    )
+    np.testing.assert_array_equal(wf.accumulated, oracle_result.accumulated)

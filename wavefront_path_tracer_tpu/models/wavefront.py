@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from wavefront_path_tracer_tpu.ops import rng
-from wavefront_path_tracer_tpu.ops.bsdf import scatter
+from wavefront_path_tracer_tpu.ops.bsdf import scatter, scatter_partitioned
 from wavefront_path_tracer_tpu.ops.compact import compaction_order
 from wavefront_path_tracer_tpu.ops.intersect import (
     T_FAR,
@@ -159,7 +159,10 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         nvec = p - center
         normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
         state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
-        new_dir = scatter(
+        # Optional per-material shade split (reference TODO README.md:19):
+        # identical results; exists for architecture parity / A-B.
+        shade_fn = scatter_partitioned if config.material_split else scatter
+        new_dir = shade_fn(
             state_rng, q_dir, normal,
             scene_arrays["mat_type"][sphere_idx],
             scene_arrays["fuzz"][sphere_idx],
@@ -172,8 +175,19 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         q_dir = jnp.where(hit[:, None], new_dir, q_dir)
 
         # Compact: survivors to the queue front (replaces atomic appends
-        # + the extension-buffer move, path_tracer.rs:348).
-        order, new_count = compaction_order(hit)
+        # + the extension-buffer move, path_tracer.rs:348).  With
+        # material_split, survivors are additionally grouped by the
+        # material they will hit next... materials are only known after
+        # the *next* extend, so group by the material just shaded —
+        # coherent queues for scenes with spatially clustered materials.
+        if config.material_split:
+            mat = scene_arrays["mat_type"][sphere_idx]
+            key = jnp.where(hit, mat, jnp.int32(3))  # dead lanes last
+            idx32 = jnp.arange(key.shape[0], dtype=jnp.int32)
+            _, order = jax.lax.sort_key_val(key, idx32, is_stable=True)
+            new_count = jnp.sum(hit.astype(jnp.int32))
+        else:
+            order, new_count = compaction_order(hit)
         q_pixel = q_pixel[order]
         q_slot = q_slot[order]
         q_origin = q_origin[order]

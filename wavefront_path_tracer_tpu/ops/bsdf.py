@@ -45,6 +45,79 @@ def schlick(cosine, eta):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, jnp.float32(5.0))
 
 
+def _draws(state):
+    """The fixed per-event draw sequence shared by every shade path:
+    3 unit-sphere draws then 1 reflectance draw (module docstring)."""
+    state, sx, sy, sz = rng.sample_unit_sphere(state)
+    state, r_reflect = rng.next_f32(state)
+    s = jnp.stack([sx, sy, sz], axis=-1)
+    s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
+    return s, r_reflect
+
+
+def scatter_lambertian(state, direction, normal, fuzz, refract_idx):
+    """Per-material kernel: Lambertian scatter (shade.wgsl:102-109)."""
+    s, _ = _draws(state)
+    d = normal + s
+    degenerate = jnp.linalg.norm(d, axis=-1, keepdims=True) < 0.001
+    d = jnp.where(degenerate, normal, d)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def scatter_metal(state, direction, normal, fuzz, refract_idx):
+    """Per-material kernel: fuzzy metal (shade.wgsl:110-114)."""
+    s, _ = _draws(state)
+    d = reflect(direction, normal) + fuzz[:, None] * s
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, d / jnp.maximum(norm, 1e-12), normal)
+
+
+def scatter_dielectric(state, direction, normal, fuzz, refract_idx):
+    """Per-material kernel: dielectric (shade.wgsl:115-151)."""
+    _, r_reflect = _draws(state)
+    uv = direction
+    cos_theta = jnp.minimum(jnp.sum(normal * -uv, axis=-1), 1.0)
+    outside = cos_theta >= 0.0
+    eta = jnp.where(outside, 1.0 / refract_idx, refract_idx)
+    n_d = jnp.where(outside[:, None], normal, -normal)
+    cos_theta = jnp.where(outside, cos_theta, -cos_theta)
+    reflectance = schlick(cos_theta, eta)
+    cos_in = jnp.sum(uv * n_d, axis=-1)
+    k = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+    can_refract = k >= 0.0
+    d_refract = (
+        eta[:, None] * uv
+        - (eta * cos_in + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * n_d
+    )
+    d = jnp.where(
+        (can_refract & (reflectance <= r_reflect))[:, None],
+        d_refract, reflect(uv, n_d),
+    )
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+SCATTER_BY_MATERIAL = (scatter_lambertian, scatter_metal, scatter_dielectric)
+
+
+def scatter_partitioned(state, direction, normal, mat_type, fuzz, refract_idx):
+    """Per-material shading over a material-partitioned queue — the
+    reference's own TODO ("per-material shade kernels", README.md:19,
+    SURVEY.md §9) realized TPU-style: the caller sorts the queue by
+    material, then each material kernel runs masked over its segment.
+
+    On the TPU's lockstep vector unit this is usually *slower* than the
+    branchless ``scatter`` (three passes over the queue instead of one);
+    it exists for architecture parity and A/B measurement — enable with
+    ``RenderConfig(material_split=True)``.  Results match ``scatter``
+    exactly (same draws, same per-material math).
+    """
+    out = jnp.zeros_like(direction)
+    for m, fn in enumerate(SCATTER_BY_MATERIAL):
+        d_m = fn(state, direction, normal, fuzz, refract_idx)
+        out = jnp.where((mat_type == m)[:, None], d_m, out)
+    return out
+
+
 def scatter(
     state: jnp.ndarray,      # (N,) uint32 RNG states (one per shading event)
     direction: jnp.ndarray,  # (N, 3) unit incoming directions
@@ -53,50 +126,10 @@ def scatter(
     fuzz: jnp.ndarray,       # (N,) f32
     refract_idx: jnp.ndarray,  # (N,) f32
 ):
-    """Returns (N, 3) unit scattered directions."""
-    state, sx, sy, sz = rng.sample_unit_sphere(state)
-    state, r_reflect = rng.next_f32(state)
+    """Returns (N, 3) unit scattered directions.
 
-    # normalize(unit-ball sample) -> point on the unit sphere surface
-    # (the reference normalizes too: shade.wgsl:103,111).
-    s = jnp.stack([sx, sy, sz], axis=-1)
-    s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
-
-    # Lambertian (shade.wgsl:102-109).
-    d_lambert = normal + s
-    degenerate = jnp.linalg.norm(d_lambert, axis=-1, keepdims=True) < 0.001
-    d_lambert = jnp.where(degenerate, normal, d_lambert)
-
-    # Metal (shade.wgsl:110-114).
-    d_metal = reflect(direction, normal) + fuzz[:, None] * s
-
-    # Dielectric (shade.wgsl:115-151).  direction is already unit.
-    uv = direction
-    cos_theta = jnp.minimum(jnp.sum(normal * -uv, axis=-1), 1.0)
-    outside = cos_theta >= 0.0
-    eta = jnp.where(outside, 1.0 / refract_idx, refract_idx)
-    n_d = jnp.where(outside[:, None], normal, -normal)
-    cos_theta = jnp.where(outside, cos_theta, -cos_theta)
-
-    reflectance = schlick(cos_theta, eta)
-    cos_in = jnp.sum(uv * n_d, axis=-1)  # = -cos_theta (shade.wgsl:169)
-    k = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
-    can_refract = k >= 0.0
-    d_refract = (
-        eta[:, None] * uv
-        - (eta * cos_in + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * n_d
-    )
-    d_reflect = reflect(uv, n_d)
-    d_dielectric = jnp.where(
-        (can_refract & (reflectance <= r_reflect))[:, None], d_refract, d_reflect
-    )
-
-    out = jnp.where(
-        (mat_type == DIELECTRIC)[:, None],
-        d_dielectric,
-        jnp.where((mat_type == METAL)[:, None], d_metal, d_lambert),
-    )
-    # Normalize; guard the (metal fuzz can cancel the reflection) zero case.
-    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
-    out = jnp.where(norm > 1e-12, out / jnp.maximum(norm, 1e-12), normal)
-    return out
+    Defined as the masked composition of the per-material kernels, so
+    the branchless path and the partitioned path (material_split) are
+    the *same* computation graph — and therefore bit-identical.
+    """
+    return scatter_partitioned(state, direction, normal, mat_type, fuzz, refract_idx)

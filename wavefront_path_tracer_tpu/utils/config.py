@@ -34,6 +34,9 @@ class RenderConfig:
     ray_chunk: int = 0                 # 0 = whole wavefront in one chunk
     sphere_chunk: int = 128            # spheres per intersection block
     tile_rows: int = 8                 # fused engine: tile = tile_rows x 128 rays
+    # Wavefront engine: partition the hit queue by material and shade
+    # with per-material kernels (the reference's TODO, README.md:19).
+    material_split: bool = False
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination instead of the reference's lossy `misses < 128`
