@@ -30,10 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native wavefront path tracer",
     )
     p.add_argument("--scene", default="book_one_final",
-                   help="book_cover | book_one_final | procedural")
+                   help="book_cover | book_one_final | procedural | "
+                        "cornell_spheres | mesh_demo")
     p.add_argument("--scene-seed", type=int, default=42)
     p.add_argument("--spheres", type=int, default=10000,
                    help="sphere count for --scene procedural")
+    p.add_argument("--obj", default=None,
+                   help="render an OBJ file (triangle mesh; wavefront/"
+                        "megakernel engines)")
+    p.add_argument("--obj-scale", type=float, default=1.0)
     p.add_argument("--width", type=int, default=400)
     p.add_argument("--height", type=int, default=225)
     p.add_argument("--spp", type=int, default=10)
@@ -80,12 +85,26 @@ def main(argv=None) -> int:
     )
     from wavefront_path_tracer_tpu.utils.profiling import FramesPerSecond
 
-    scene_kwargs = {}
-    if args.scene == "book_one_final":
-        scene_kwargs["seed"] = args.scene_seed
-    elif args.scene == "procedural":
-        scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
-    scene = get_scene(args.scene, **scene_kwargs)
+    triangles = None
+    if args.obj:
+        from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
+
+        b = MeshSceneBuilder()
+        ground = b.lambertian([0.5, 0.5, 0.5])
+        b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+        load_obj(args.obj, builder=b, scale=args.obj_scale)
+        scene, triangles = b.build_mesh_scene()
+    elif args.scene == "mesh_demo":
+        from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
+
+        scene, triangles = mesh_demo_scene()
+    else:
+        scene_kwargs = {}
+        if args.scene == "book_one_final":
+            scene_kwargs["seed"] = args.scene_seed
+        elif args.scene == "procedural":
+            scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
+        scene = get_scene(args.scene, **scene_kwargs)
 
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
@@ -101,7 +120,7 @@ def main(argv=None) -> int:
         use_bvh=(args.intersector == "bvh"),
     )
 
-    renderer = Renderer(scene, cc, cfg)
+    renderer = Renderer(scene, cc, cfg, triangles=triangles)
     if args.resume:
         acc, samples, frame = load_checkpoint(args.resume)
         renderer._accum = acc.reshape(-1, 3).astype(np.float32)

@@ -23,25 +23,10 @@ import jax.numpy as jnp
 
 from wavefront_path_tracer_tpu.ops import rng
 from wavefront_path_tracer_tpu.ops.bsdf import scatter
-from wavefront_path_tracer_tpu.ops.intersect import intersect_bruteforce, sky_color
+from wavefront_path_tracer_tpu.ops.hit import intersect_and_resolve
+from wavefront_path_tracer_tpu.ops.intersect import sky_color
 from wavefront_path_tracer_tpu.ops.raygen import generate_rays
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
-
-
-def _intersect(origin, direction, scene_arrays, config: RenderConfig):
-    if config.intersector == "bvh":
-        from wavefront_path_tracer_tpu.ops.bvh_traverse import intersect_bvh
-
-        return intersect_bvh(
-            origin, direction,
-            scene_arrays["centers"], scene_arrays["radii"],
-            scene_arrays["bvh_min"], scene_arrays["bvh_max"],
-            scene_arrays["bvh_left_first"], scene_arrays["bvh_prim_count"],
-        )
-    return intersect_bruteforce(
-        origin, direction, scene_arrays["centers"], scene_arrays["radii"],
-        sphere_chunk=min(config.sphere_chunk, scene_arrays["centers"].shape[0]),
-    )
 
 
 def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
@@ -65,7 +50,8 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     def body(state):
         bounce, origin, direction, throughput, radiance, alive, rays = state
         rays = rays + jnp.sum(alive.astype(jnp.int32))
-        t, sphere_idx, hit = _intersect(origin, direction, scene_arrays, config)
+        t, hit, normal, albedo, fuzz, refract, mat = intersect_and_resolve(
+            origin, direction, scene_arrays, config)
 
         # Miss: terminal sky contribution (K4 semantics).
         missed = alive & ~hit
@@ -74,22 +60,12 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         )
 
         # Hit: attenuate and scatter (K3 semantics).
-        center = scene_arrays["centers"][sphere_idx]
         p = origin + t[:, None] * direction
-        nvec = p - center
-        normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
         state_rng = rng.stream_state(pixel_idx, frame, sample, bounce + 1)
-        new_dir = scatter(
-            state_rng, direction, normal,
-            scene_arrays["mat_type"][sphere_idx],
-            scene_arrays["fuzz"][sphere_idx],
-            scene_arrays["refract_idx"][sphere_idx],
-        )
+        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract)
         hit_alive = alive & hit
         throughput = jnp.where(
-            hit_alive[:, None],
-            throughput * scene_arrays["albedo"][sphere_idx],
-            throughput,
+            hit_alive[:, None], throughput * albedo, throughput,
         )
         origin = jnp.where(hit_alive[:, None], p, origin)
         direction = jnp.where(hit_alive[:, None], new_dir, direction)

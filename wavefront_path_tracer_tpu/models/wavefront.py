@@ -36,67 +36,54 @@ import jax.numpy as jnp
 from wavefront_path_tracer_tpu.ops import rng
 from wavefront_path_tracer_tpu.ops.bsdf import scatter, scatter_partitioned
 from wavefront_path_tracer_tpu.ops.compact import compaction_order
-from wavefront_path_tracer_tpu.ops.intersect import (
-    T_FAR,
-    intersect_bruteforce,
-    sky_color,
-)
+from wavefront_path_tracer_tpu.ops.hit import intersect_and_resolve
+from wavefront_path_tracer_tpu.ops.intersect import T_FAR, sky_color
 from wavefront_path_tracer_tpu.ops.raygen import generate_rays
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
 
 
-def _intersect(origin, direction, scene_arrays, config: RenderConfig):
-    if config.intersector == "bvh":
-        from wavefront_path_tracer_tpu.ops.bvh_traverse import intersect_bvh
-
-        return intersect_bvh(
-            origin, direction,
-            scene_arrays["centers"], scene_arrays["radii"],
-            scene_arrays["bvh_min"], scene_arrays["bvh_max"],
-            scene_arrays["bvh_left_first"], scene_arrays["bvh_prim_count"],
-        )
-    return intersect_bruteforce(
-        origin, direction, scene_arrays["centers"], scene_arrays["radii"],
-        sphere_chunk=min(config.sphere_chunk, scene_arrays["centers"].shape[0]),
-    )
-
-
 def _extend(q_origin, q_dir, count, scene_arrays, config: RenderConfig):
-    """The extend stage (reference K2): nearest hit for the live prefix.
+    """The extend stage (reference K2): nearest hit + shading inputs for
+    the live prefix.
 
     With ``config.ray_chunk`` set, only ceil(count/chunk) chunks are
-    intersected — dead-tail lanes cost nothing.
+    intersected — dead-tail lanes cost nothing.  Returns
+    (t, hit, normal, albedo, fuzz, refract, mat).
     """
     capacity = q_origin.shape[0]
     chunk = config.ray_chunk
     if chunk <= 0 or chunk >= capacity:
-        return _intersect(q_origin, q_dir, scene_arrays, config)
+        return intersect_and_resolve(q_origin, q_dir, scene_arrays, config)
 
     assert capacity % chunk == 0, "queue capacity must be a ray_chunk multiple"
-    t_buf = jnp.full((capacity,), T_FAR)
-    idx_buf = jnp.zeros((capacity,), jnp.int32)
-    hit_buf = jnp.zeros((capacity,), bool)
+    bufs = (
+        jnp.full((capacity,), T_FAR),            # t
+        jnp.zeros((capacity,), bool),            # hit
+        jnp.zeros((capacity, 3), jnp.float32),   # normal
+        jnp.zeros((capacity, 3), jnp.float32),   # albedo
+        jnp.zeros((capacity,), jnp.float32),     # fuzz
+        jnp.ones((capacity,), jnp.float32),      # refract
+        jnp.zeros((capacity,), jnp.int32),       # mat
+    )
     n_chunks = (count + chunk - 1) // chunk
 
     def cond(state):
-        k = state[0]
-        return k < n_chunks
+        return state[0] < n_chunks
 
     def body(state):
-        k, t_buf, idx_buf, hit_buf = state
+        k, bufs = state
         start = k * chunk
         o = jax.lax.dynamic_slice_in_dim(q_origin, start, chunk)
         d = jax.lax.dynamic_slice_in_dim(q_dir, start, chunk)
-        t, si, h = _intersect(o, d, scene_arrays, config)
-        t_buf = jax.lax.dynamic_update_slice_in_dim(t_buf, t, start, 0)
-        idx_buf = jax.lax.dynamic_update_slice_in_dim(idx_buf, si, start, 0)
-        hit_buf = jax.lax.dynamic_update_slice_in_dim(hit_buf, h, start, 0)
-        return k + 1, t_buf, idx_buf, hit_buf
+        outs = intersect_and_resolve(o, d, scene_arrays, config)
+        bufs = tuple(
+            jax.lax.dynamic_update_slice_in_dim(buf, out, start, 0)
+            for buf, out in zip(bufs, outs)
+        )
+        return k + 1, bufs
 
-    _, t_buf, idx_buf, hit_buf = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t_buf, idx_buf, hit_buf)
-    )
-    return t_buf, idx_buf, hit_buf
+    _, bufs = jax.lax.while_loop(cond, body, (jnp.int32(0), bufs))
+    return bufs
 
 
 def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
@@ -141,8 +128,9 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         rays_traced = rays_traced + count
         live = lane < count
 
-        # K2 extend.
-        t, sphere_idx, hit = _extend(q_origin, q_dir, count, scene_arrays, config)
+        # K2 extend (+ hit resolution: normal/material of the winner).
+        t, hit, normal, albedo, fuzz, refract, mat = _extend(
+            q_origin, q_dir, count, scene_arrays, config)
         hit = hit & live
         missed = live & ~hit
 
@@ -154,22 +142,14 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
 
         # K3 shade: attenuate + scatter, RNG stream keyed by *pixel*
         # (deterministic; unlike reference shade.wgsl:72's queue-slot seed).
-        center = scene_arrays["centers"][sphere_idx]
         p = q_origin + t[:, None] * q_dir
-        nvec = p - center
-        normal = nvec / jnp.linalg.norm(nvec, axis=-1, keepdims=True)
         state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
         # Optional per-material shade split (reference TODO README.md:19):
         # identical results; exists for architecture parity / A-B.
         shade_fn = scatter_partitioned if config.material_split else scatter
-        new_dir = shade_fn(
-            state_rng, q_dir, normal,
-            scene_arrays["mat_type"][sphere_idx],
-            scene_arrays["fuzz"][sphere_idx],
-            scene_arrays["refract_idx"][sphere_idx],
-        )
+        new_dir = shade_fn(state_rng, q_dir, normal, mat, fuzz, refract)
         q_throughput = jnp.where(
-            hit[:, None], q_throughput * scene_arrays["albedo"][sphere_idx], q_throughput
+            hit[:, None], q_throughput * albedo, q_throughput
         )
         q_origin = jnp.where(hit[:, None], p, q_origin)
         q_dir = jnp.where(hit[:, None], new_dir, q_dir)
@@ -181,7 +161,6 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         # the *next* extend, so group by the material just shaded —
         # coherent queues for scenes with spatially clustered materials.
         if config.material_split:
-            mat = scene_arrays["mat_type"][sphere_idx]
             key = jnp.where(hit, mat, jnp.int32(3))  # dead lanes last
             idx32 = jnp.arange(key.shape[0], dtype=jnp.int32)
             _, order = jax.lax.sort_key_val(key, idx32, is_stable=True)

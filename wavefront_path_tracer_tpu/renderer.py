@@ -30,8 +30,9 @@ from wavefront_path_tracer_tpu.utils.config import RenderConfig, RenderProgress
 compile_cache.enable()
 
 
-def prepare_scene(scene: Scene, config: RenderConfig) -> dict:
-    """Host scene -> device SoA arrays (+ flattened BVH when enabled).
+def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
+    """Host scene -> device SoA arrays (+ flattened BVH when enabled,
+    + triangle tables when a mesh is present).
 
     The BVH build reorders spheres in place, exactly like the reference's
     ``build_bvh_tree(&mut spheres)`` (path_tracer.rs:117-118).
@@ -48,6 +49,21 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> dict:
         }
     else:
         extra = {}
+    if triangles is not None and triangles.num_triangles > 0:
+        from wavefront_path_tracer_tpu.ops.triangle import triangle_normals
+
+        e1 = jnp.asarray(triangles.e1)
+        e2 = jnp.asarray(triangles.e2)
+        extra.update({
+            "tri_v0": jnp.asarray(triangles.v0),
+            "tri_e1": e1,
+            "tri_e2": e2,
+            "tri_normal": triangle_normals(e1, e2),
+            "tri_albedo": jnp.asarray(triangles.albedo),
+            "tri_fuzz": jnp.asarray(triangles.fuzz),
+            "tri_refract": jnp.asarray(triangles.refract_idx),
+            "tri_mat_type": jnp.asarray(triangles.mat_type),
+        })
     arrays = {
         "centers": jnp.asarray(scene.centers),
         "radii": jnp.asarray(scene.radii),
@@ -79,10 +95,16 @@ class RenderResult:
 class Renderer:
     """Progressive renderer with accumulation-restart semantics."""
 
-    def __init__(self, scene: Scene, camera: CameraController, config: RenderConfig):
+    def __init__(self, scene: Scene, camera: CameraController,
+                 config: RenderConfig, triangles=None):
+        if triangles is not None and config.engine == "fused":
+            raise NotImplementedError(
+                "the fused engine does not trace triangle meshes yet; "
+                "use engine='wavefront' or 'megakernel'"
+            )
         self.config = config
         self.camera = camera
-        self.scene_arrays = prepare_scene(scene, config)
+        self.scene_arrays = prepare_scene(scene, config, triangles)
         self.progress = RenderProgress()
         self._accum = np.zeros((config.num_pixels, 3), np.float32)
         self._engine = get_engine(config.engine)
@@ -148,6 +170,7 @@ class Renderer:
         return result
 
 
-def render(scene: Scene, camera: CameraController, config: RenderConfig) -> RenderResult:
+def render(scene: Scene, camera: CameraController, config: RenderConfig,
+           triangles=None) -> RenderResult:
     """One-shot convenience wrapper."""
-    return Renderer(scene, camera, config).render()
+    return Renderer(scene, camera, config, triangles).render()
