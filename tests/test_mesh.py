@@ -93,3 +93,16 @@ def test_fused_rejects_triangles_clearly():
     with pytest.raises(NotImplementedError, match="fused"):
         render(scene, _mesh_camera(), CFG.replace(engine="fused"),
                triangles=tris)
+
+
+def test_fused_baked_traces_triangles():
+    from wavefront_path_tracer_tpu.utils.image import rmse
+
+    scene, tris = mesh_demo_scene()
+    cc = _mesh_camera()
+    mk = render(scene, cc, CFG.replace(engine="megakernel"), triangles=tris)
+    fz = render(scene, cc, CFG.replace(engine="fused", intersector="baked"),
+                triangles=tris)
+    assert np.isfinite(fz.accumulated).all()
+    assert abs(fz.accumulated.mean() - mk.accumulated.mean()) < 2e-3
+    assert rmse(fz.image, mk.image) < 5e-3

@@ -60,8 +60,23 @@ def _plane(x, rows_total):
 
 def _baked_fn(scene_arrays):
     centers = np.asarray(scene_arrays["centers"])
+    triangles = None
+    tri_key = 0
+    if "tri_v0" in scene_arrays:
+        from wavefront_path_tracer_tpu.scene.mesh import TriangleSoA
+
+        triangles = TriangleSoA(
+            v0=np.asarray(scene_arrays["tri_v0"]),
+            e1=np.asarray(scene_arrays["tri_e1"]),
+            e2=np.asarray(scene_arrays["tri_e2"]),
+            albedo=np.asarray(scene_arrays["tri_albedo"]),
+            fuzz=np.asarray(scene_arrays["tri_fuzz"]),
+            refract_idx=np.asarray(scene_arrays["tri_refract"]),
+            mat_type=np.asarray(scene_arrays["tri_mat_type"]),
+        )
+        tri_key = hash(triangles.v0.tobytes())
     key = (centers.shape[0], hash(centers.tobytes()),
-           hash(np.asarray(scene_arrays["albedo"]).tobytes()))
+           hash(np.asarray(scene_arrays["albedo"]).tobytes()), tri_key)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         fn = baked_intersect(
@@ -71,6 +86,7 @@ def _baked_fn(scene_arrays):
             np.asarray(scene_arrays["fuzz"]),
             np.asarray(scene_arrays["refract_idx"]),
             np.asarray(scene_arrays["mat_type"]),
+            triangles=triangles,
         )
         _BAKED_CACHE[key] = fn
     return fn
@@ -88,6 +104,11 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples, baked_fn=_baked_fn(scene_arrays),
+        )
+    if "tri_v0" in scene_arrays:
+        raise NotImplementedError(
+            "the fused engine traces triangles only with "
+            "intersector='baked' (the dynamic VMEM kernel is spheres-only)"
         )
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,

@@ -315,11 +315,14 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
 
 def _shade_tile(pix, frame, sample, bounce,
                 ox, oy, oz, dx, dy, dz,
-                best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt):
+                best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
+                b_nx=None, b_ny=None, b_nz=None, b_is_tri=None):
     """Branchless RTIOW shading for a tile (see bounce_kernel docstring).
 
     Returns (p_x, p_y, p_z, ndx, ndy, ndz): hit point and unit
     scattered direction.  RNG draws are the shared per-event streams.
+    Triangle winners (b_is_tri) use their constant geometric normal,
+    flipped toward the ray for non-dielectrics (ops/hit.py convention).
     """
     base = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
     state = _jenkins(base + sample * _u32(_SAMPLE_STRIDE)
@@ -347,6 +350,17 @@ def _shade_tile(pix, frame, sample, bounce,
     nz = (p_z - b_cz) * b_inv_r
     n_norm = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-37))
     nx, ny, nz = nx * n_norm, ny * n_norm, nz * n_norm
+
+    if b_is_tri is not None:
+        is_tri = b_is_tri > 0
+        d_dot_tn = dx * b_nx + dy * b_ny + dz * b_nz
+        flip = (d_dot_tn > 0.0) & (b_mt != 2.0)  # dielectrics self-flip
+        tnx = jnp.where(flip, -b_nx, b_nx)
+        tny = jnp.where(flip, -b_ny, b_ny)
+        tnz = jnp.where(flip, -b_nz, b_nz)
+        nx = jnp.where(is_tri, tnx, nx)
+        ny = jnp.where(is_tri, tny, ny)
+        nz = jnp.where(is_tri, tnz, nz)
 
     lx, ly, lz = nx + sx, ny + sy, nz + sz
     l_len2 = lx * lx + ly * ly + lz * lz
@@ -608,7 +622,8 @@ def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
     return ox, oy, oz, dx * inv, dy * inv, dz * inv
 
 
-def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
+def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
+                    triangles=None):
     """Build an intersect function with the scene baked as immediates.
 
     Dynamic per-sphere scalar VMEM loads dominate the sphere loop's
@@ -618,8 +633,13 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
     constants — zero loads, pure vector ALU.  The (per-scene) compile is
     amortized by the persistent compilation cache.
 
-    Takes *numpy* scene arrays; returns f(ox..dz) -> same tuple as
-    _intersect_tile.
+    ``triangles`` (optional TriangleSoA numpy tables) are unrolled the
+    same way (two-sided Moller-Trumbore with constant edges + normals).
+
+    Takes *numpy* scene arrays; returns f(ox..dz) -> the _intersect_tile
+    tuple extended with (b_nx, b_ny, b_nz, b_is_tri): triangle winners
+    carry their constant geometric normal; sphere winners compute theirs
+    from the center fields.
     """
     import numpy as np
 
@@ -631,6 +651,17 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
          float(mat_type[i]))
         for i in range(n)
     ]
+    tris = []
+    if triangles is not None:
+        nrm = np.cross(triangles.e1, triangles.e2)
+        nrm = nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+        for i in range(triangles.num_triangles):
+            tris.append((
+                triangles.v0[i].tolist(), triangles.e1[i].tolist(),
+                triangles.e2[i].tolist(), nrm[i].tolist(),
+                triangles.albedo[i].tolist(), float(triangles.fuzz[i]),
+                float(triangles.refract_idx[i]), float(triangles.mat_type[i]),
+            ))
 
     def intersect(ox, oy, oz, dx, dy, dz):
         f32 = jnp.float32
@@ -672,8 +703,46 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type):
             b_fuzz = jnp.where(better, fz, b_fuzz)
             b_ior = jnp.where(better, ior, b_ior)
             b_mt = jnp.where(better, mt, b_mt)
+
+        b_nx = jnp.zeros(shape, f32)
+        b_ny = jnp.zeros(shape, f32)
+        b_nz = jnp.zeros(shape, f32)
+        b_is_tri = jnp.zeros(shape, f32)
+        for v0, e1, e2, nrm, alb, fz, ior, mt in tris:
+            # Two-sided Moller-Trumbore, everything constant but the ray.
+            pvx = dy * e2[2] - dz * e2[1]
+            pvy = dz * e2[0] - dx * e2[2]
+            pvz = dx * e2[1] - dy * e2[0]
+            det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+            safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / safe, 0.0)
+            tvx = ox - v0[0]
+            tvy = oy - v0[1]
+            tvz = oz - v0[2]
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1[2] - tvz * e1[1]
+            qvy = tvz * e1[0] - tvx * e1[2]
+            qvz = tvx * e1[1] - tvy * e1[0]
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+            valid = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (tt > T_MIN))
+            tt = jnp.where(valid, tt, T_FAR)
+            better = tt < best_t
+            best_t = jnp.where(better, tt, best_t)
+            b_nx = jnp.where(better, nrm[0], b_nx)
+            b_ny = jnp.where(better, nrm[1], b_ny)
+            b_nz = jnp.where(better, nrm[2], b_nz)
+            b_is_tri = jnp.where(better, 1.0, b_is_tri)
+            b_ar = jnp.where(better, alb[0], b_ar)
+            b_ag = jnp.where(better, alb[1], b_ag)
+            b_ab = jnp.where(better, alb[2], b_ab)
+            b_fuzz = jnp.where(better, fz, b_fuzz)
+            b_ior = jnp.where(better, ior, b_ior)
+            b_mt = jnp.where(better, mt, b_mt)
+
         return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-                b_fuzz, b_ior, b_mt)
+                b_fuzz, b_ior, b_mt, b_nx, b_ny, b_nz, b_is_tri)
 
     return intersect
 
@@ -776,8 +845,10 @@ def _persistent_impl(
         alive = alive | start
         nrays = nrays + jnp.sum(jnp.where(alive, 1.0, 0.0))
 
+        res = intersect_fn(ox, oy, oz, dx, dy, dz)
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-         b_fuzz, b_ior, b_mt) = intersect_fn(ox, oy, oz, dx, dy, dz)
+         b_fuzz, b_ior, b_mt) = res[:11]
+        tri_fields = res[11:] if len(res) > 11 else (None, None, None, None)
 
         hit = (best_t < T_FAR) & alive
         missed = alive & ~hit
@@ -788,7 +859,8 @@ def _persistent_impl(
 
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
             pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
-            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt)
+            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
+            *tri_fields)
 
         ox = jnp.where(hit, p_x, ox)
         oy = jnp.where(hit, p_y, oy)

@@ -97,10 +97,11 @@ class Renderer:
 
     def __init__(self, scene: Scene, camera: CameraController,
                  config: RenderConfig, triangles=None):
-        if triangles is not None and config.engine == "fused":
+        if (triangles is not None and config.engine == "fused"
+                and config.intersector != "baked"):
             raise NotImplementedError(
-                "the fused engine does not trace triangle meshes yet; "
-                "use engine='wavefront' or 'megakernel'"
+                "the fused engine traces triangle meshes only with "
+                "intersector='baked'; or use engine='wavefront'/'megakernel'"
             )
         self.config = config
         self.camera = camera
