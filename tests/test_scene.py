@@ -67,7 +67,7 @@ def test_cornell_spheres_material_mix():
     from wavefront_path_tracer_tpu.scene.scene import cornell_spheres
 
     s = cornell_spheres()
-    assert s.num_spheres == 65
+    assert s.num_spheres == 64
     kinds, counts = np.unique(s.mat_type, return_counts=True)
     frac = dict(zip(kinds.tolist(), (counts / s.num_spheres).tolist()))
     # Specular-heavy: glass + metal dominate the interior.

@@ -85,3 +85,26 @@ def test_indivisible_pixels_rejected(book_cover_scene):
             jnp.asarray(cc.inverse_projection(cfg.width, cfg.height)),
             cfg, jnp.uint32(0), jnp.uint32(0), cfg.samples_per_pixel,
         )
+
+
+def test_fused_engine_shards(book_cover_scene):
+    """The flagship Pallas engine under shard_map (pixel + sample DP)."""
+    from wavefront_path_tracer_tpu.utils.image import rmse
+
+    cc = _camera()
+    cfg = CFG.replace(engine="fused")
+    single = render(book_cover_scene, cc, cfg)
+    mesh = make_mesh(8, sample_axis=2)
+    rad = _sharded(book_cover_scene, cc, cfg, mesh)
+    np.testing.assert_allclose(
+        rad, single.accumulated.reshape(-1, 3), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_baked_engine_shards(book_cover_scene):
+    cc = _camera()
+    cfg = CFG.replace(engine="fused", intersector="baked")
+    single = render(book_cover_scene, cc, cfg)
+    mesh = make_mesh(4, sample_axis=1)
+    rad = _sharded(book_cover_scene, cc, cfg, mesh)
+    np.testing.assert_array_equal(rad, single.accumulated.reshape(-1, 3))

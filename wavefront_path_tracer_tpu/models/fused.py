@@ -116,19 +116,20 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "config", "n_samples", "baked_fn")
-)
-def _render_samples_impl(scene_arrays, cam, view, inv_proj,
-                         config: RenderConfig, frame, sample_base,
-                         n_samples: int, baked_fn=None):
+def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
+                  config: RenderConfig, frame, sample_base,
+                  n_samples: int, baked_fn=None):
+    """Trace any pixel-index subset (a shard tile or the whole image).
+
+    Not jitted itself — callers jit (render_samples) or trace it inside
+    shard_map (parallel/sharding.py).  Returns ((N, 3), rays_traced).
+    """
     interpret = jax.default_backend() == "cpu"
     tile_rows = config.tile_rows
-    num_pixels = config.num_pixels
+    num_pixels = pixel_idx.shape[0]
     rows = -(-num_pixels // _LANES)
     rows_total = -(-rows // tile_rows) * tile_rows
 
-    pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
     pix = _plane(pixel_idx, rows_total)
     xs = _plane((pixel_idx % config.width).astype(jnp.float32), rows_total)
     ys = _plane((pixel_idx // config.width).astype(jnp.float32), rows_total)
@@ -177,3 +178,16 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
     )[:num_pixels]
     return radiance, jnp.sum(rays)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "config", "n_samples", "baked_fn")
+)
+def _render_samples_impl(scene_arrays, cam, view, inv_proj,
+                         config: RenderConfig, frame, sample_base,
+                         n_samples: int, baked_fn=None):
+    pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
+    return render_pixels(
+        pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
+        sample_base, n_samples, baked_fn,
+    )

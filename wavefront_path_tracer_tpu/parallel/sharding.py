@@ -71,7 +71,6 @@ def render_samples_sharded(
     Pixels shard over "tiles"; samples shard over "samples"; the result
     is the full-image radiance sum (replicated).
     """
-    engine = get_engine(config.engine)
     n_tiles = mesh.shape["tiles"]
     n_sample_shards = mesh.shape["samples"]
     assert n_samples % n_sample_shards == 0, (
@@ -80,26 +79,46 @@ def render_samples_sharded(
     samples_per_shard = n_samples // n_sample_shards
     pixels_per_tile = shard_pixels(config, n_tiles)
 
+    # Baked kernels must be built from *concrete* scene data, outside the
+    # shard_map trace.
+    baked_fn = None
+    if config.engine == "fused" and config.intersector == "baked":
+        from wavefront_path_tracer_tpu.models.fused import _baked_fn
+
+        baked_fn = _baked_fn(scene_arrays)
+
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the
     # engine code is unchanged (SPMD over the index space).
     def tile_fn(pixel_idx, scene_arrays, view, inv_proj, frame, sample_base):
         sshard = jax.lax.axis_index("samples").astype(jnp.uint32)
         base = sample_base + sshard * jnp.uint32(samples_per_shard)
-        if config.engine == "megakernel":
-            from wavefront_path_tracer_tpu.models.megakernel import trace_pixels as trace
-        else:
-            from wavefront_path_tracer_tpu.models.wavefront import trace_wavefront as trace
+        if config.engine == "fused":
+            from wavefront_path_tracer_tpu.models.fused import render_pixels
 
-        def one_sample(s, acc):
-            rad, _ = trace(
+            rad, _ = render_pixels(
                 pixel_idx[0], scene_arrays, cam, view, inv_proj, config,
-                frame, base + jnp.uint32(s),
+                frame, base, samples_per_shard, baked_fn,
             )
-            return acc + rad
+        else:
+            if config.engine == "megakernel":
+                from wavefront_path_tracer_tpu.models.megakernel import (
+                    trace_pixels as trace,
+                )
+            else:
+                from wavefront_path_tracer_tpu.models.wavefront import (
+                    trace_wavefront as trace,
+                )
 
-        acc = jnp.zeros((pixel_idx.shape[1], 3), jnp.float32)
-        rad = jax.lax.fori_loop(0, samples_per_shard, one_sample, acc)
+            def one_sample(s, acc):
+                r, _ = trace(
+                    pixel_idx[0], scene_arrays, cam, view, inv_proj, config,
+                    frame, base + jnp.uint32(s),
+                )
+                return acc + r
+
+            acc = jnp.zeros((pixel_idx.shape[1], 3), jnp.float32)
+            rad = jax.lax.fori_loop(0, samples_per_shard, one_sample, acc)
         # Reduce the sample axis; tiles stay sharded until the out_spec
         # gathers them.
         rad = jax.lax.psum(rad, axis_name="samples")

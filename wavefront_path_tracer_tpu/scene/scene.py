@@ -204,11 +204,11 @@ def procedural_spheres(n: int = 10_000, seed: int = 7, extent: float = 50.0) -> 
 def cornell_spheres(seed: int = 11) -> Scene:
     """Dielectric/metal-heavy enclosed scene (BASELINE.json config 3).
 
-    A Cornell-style box built from five giant Lambertian spheres (walls
-    look locally flat) enclosing a dense cluster of glass and mirror
-    spheres — stresses long specular bounce chains and the per-material
-    shade paths.  No reference analog; sized so paths frequently reach
-    the bounce cap.
+    A Cornell-style open box built from four giant Lambertian spheres
+    (walls look locally flat; no ceiling — the sky gradient is the only
+    light in the RTIOW material model) enclosing a dense cluster of
+    glass and mirror spheres — stresses long specular bounce chains and
+    the per-material shade paths.  No reference analog.
     """
     rng = np.random.RandomState(seed)
     b = SceneBuilder()
@@ -218,7 +218,6 @@ def cornell_spheres(seed: int = 11) -> Scene:
     red = b.lambertian([0.65, 0.05, 0.05])
     green = b.lambertian([0.12, 0.45, 0.15])
     b.sphere([0.0, -r_wall, 0.0], r_wall, white)              # floor y=0
-    b.sphere([0.0, r_wall + 2 * half, 0.0], r_wall, white)    # ceiling
     b.sphere([0.0, half, -r_wall - half], r_wall, white)      # back
     b.sphere([-r_wall - half, half, 0.0], r_wall, red)        # left
     b.sphere([r_wall + half, half, 0.0], r_wall, green)       # right
