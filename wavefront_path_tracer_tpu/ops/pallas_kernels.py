@@ -95,53 +95,10 @@ def bounce_kernel(
 
     n_spheres = nsph_ref[0, 0]
 
-    # ---- extend: nearest hit over all spheres (sphere-scalar loop) ----
-    shape = ox.shape
-    a_q = dx * dx + dy * dy + dz * dz  # ~1 (normalized), kept for exactness
-    inv_a = 1.0 / a_q  # hoisted out of the sphere loop
-
-    def sphere_step(s, carry):
-        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-         b_fuzz, b_ior, b_mt) = carry
-        cx = scn_ref[s, 0]
-        cy = scn_ref[s, 1]
-        cz = scn_ref[s, 2]
-        r = scn_ref[s, 3]
-        ocx = ox - cx
-        ocy = oy - cy
-        ocz = oz - cz
-        b_q = dx * ocx + dy * ocy + dz * ocz
-        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b_q * b_q - a_q * c_q
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b_q - sq) * inv_a
-        t2 = (-b_q + sq) * inv_a
-        t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
-        t = jnp.where(disc >= 0.0, t, T_FAR)
-        better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        b_cx = jnp.where(better, cx, b_cx)
-        b_cy = jnp.where(better, cy, b_cy)
-        b_cz = jnp.where(better, cz, b_cz)
-        b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
-        b_ar = jnp.where(better, scn_ref[s, 4], b_ar)
-        b_ag = jnp.where(better, scn_ref[s, 5], b_ag)
-        b_ab = jnp.where(better, scn_ref[s, 6], b_ab)
-        b_fuzz = jnp.where(better, scn_ref[s, 7], b_fuzz)
-        b_ior = jnp.where(better, scn_ref[s, 8], b_ior)
-        b_mt = jnp.where(better, scn_ref[s, 9], b_mt)
-        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-                b_fuzz, b_ior, b_mt)
-
-    init = (
-        jnp.full(shape, T_FAR, f32),
-        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-        jnp.ones(shape, f32),
-        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-        jnp.zeros(shape, f32), jnp.ones(shape, f32), jnp.zeros(shape, f32),
-    )
+    # ---- extend: nearest hit over all spheres (shared sphere loop) ----
     (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-     b_fuzz, b_ior, b_mt) = jax.lax.fori_loop(0, n_spheres, sphere_step, init)
+     b_fuzz, b_ior, b_mt) = _intersect_tile(
+        scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
 
     hit = (best_t < T_FAR) & alive
     missed = alive & ~hit
@@ -273,10 +230,10 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
     def sphere_step(s, carry):
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
          b_fuzz, b_ior, b_mt) = carry
-        cx = scn_ref[s, 0]
-        cy = scn_ref[s, 1]
-        cz = scn_ref[s, 2]
-        r = scn_ref[s, 3]
+        # One dynamic sublane row-load per sphere; scalar extraction from
+        # the loaded row is static indexing.
+        row = scn_ref[s]
+        cx, cy, cz, r = row[0], row[1], row[2], row[3]
         ocx = ox - cx
         ocy = oy - cy
         ocz = oz - cz
@@ -294,12 +251,12 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
         b_cy = jnp.where(better, cy, b_cy)
         b_cz = jnp.where(better, cz, b_cz)
         b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
-        b_ar = jnp.where(better, scn_ref[s, 4], b_ar)
-        b_ag = jnp.where(better, scn_ref[s, 5], b_ag)
-        b_ab = jnp.where(better, scn_ref[s, 6], b_ab)
-        b_fuzz = jnp.where(better, scn_ref[s, 7], b_fuzz)
-        b_ior = jnp.where(better, scn_ref[s, 8], b_ior)
-        b_mt = jnp.where(better, scn_ref[s, 9], b_mt)
+        b_ar = jnp.where(better, row[4], b_ar)
+        b_ag = jnp.where(better, row[5], b_ag)
+        b_ab = jnp.where(better, row[6], b_ab)
+        b_fuzz = jnp.where(better, row[7], b_fuzz)
+        b_ior = jnp.where(better, row[8], b_ior)
+        b_mt = jnp.where(better, row[9], b_mt)
         return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
                 b_fuzz, b_ior, b_mt)
 
