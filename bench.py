@@ -81,7 +81,7 @@ def main() -> None:
     p.add_argument("--scene", default="book_one_final")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--spp", type=int, default=8)
+    p.add_argument("--spp", type=int, default=32)
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)

@@ -28,7 +28,6 @@ bitwise.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

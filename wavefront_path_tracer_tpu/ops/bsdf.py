@@ -30,7 +30,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from wavefront_path_tracer_tpu.ops import rng
-from wavefront_path_tracer_tpu.scene.scene import DIELECTRIC, LAMBERTIAN, METAL
 
 
 def reflect(d, n):

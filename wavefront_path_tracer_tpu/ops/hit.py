@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from wavefront_path_tracer_tpu.ops.intersect import T_FAR, intersect_bruteforce
+from wavefront_path_tracer_tpu.ops.intersect import intersect_bruteforce
 from wavefront_path_tracer_tpu.ops.triangle import intersect_triangles
 from wavefront_path_tracer_tpu.scene.scene import DIELECTRIC
 

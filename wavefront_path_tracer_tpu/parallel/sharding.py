@@ -31,7 +31,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from wavefront_path_tracer_tpu.models import get_engine
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
 
 

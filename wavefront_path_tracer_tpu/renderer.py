@@ -78,11 +78,22 @@ def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
 
 @dataclasses.dataclass
 class RenderResult:
-    accumulated: np.ndarray  # (H, W, 3) radiance sum over samples
+    # (H, W, 3) radiance sum over samples.  May be a device array —
+    # host transfers through this environment's tunnel are slow
+    # (~40 MB/s), so accumulation stays on device and only materializes
+    # when accessed (numpy coerces via __array__).
+    accumulated_dev: object
     samples: int
     wall_time_s: float
     mrays_per_s: float       # rays processed by extend+shade / wall time
     rays_traced: float = 0.0
+    _accum_np: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
+
+    @property
+    def accumulated(self) -> np.ndarray:
+        if self._accum_np is None:
+            self._accum_np = np.asarray(self.accumulated_dev)
+        return self._accum_np
 
     @property
     def image(self) -> np.ndarray:
@@ -107,7 +118,10 @@ class Renderer:
         self.camera = camera
         self.scene_arrays = prepare_scene(scene, config, triangles)
         self.progress = RenderProgress()
-        self._accum = np.zeros((config.num_pixels, 3), np.float32)
+        # Device-resident accumulator: never round-trips to the host
+        # between frames (unlike the reference's display path, the host
+        # only sees it on export).
+        self._accum = jnp.zeros((config.num_pixels, 3), jnp.float32)
         self._engine = get_engine(config.engine)
 
     # -- dirty-flag API (reference parameters.rs:7-59) --
@@ -120,7 +134,7 @@ class Renderer:
 
     def reset_accumulation(self) -> None:
         self.progress.reset()
-        self._accum = np.zeros((self.config.num_pixels, 3), np.float32)
+        self._accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
 
     def render_frame(self) -> Optional[RenderResult]:
         """Run one SPF batch (one 'frame'); returns the running result,
@@ -144,15 +158,16 @@ class Renderer:
             jnp.uint32(self.progress.accumulated_samples),
             n_samples,
         )
-        rad = jax.block_until_ready(rad)
+        # Fetching the scalar ray count forces completion (this device's
+        # block_until_ready can return early); the radiance stays put.
+        rays = float(rays)
         dt = time.perf_counter() - t0
 
-        self._accum += np.asarray(rad)
+        self._accum = self._accum + rad
         self.progress.accumulated_samples += n_samples
         self.progress.frame += 1
-        rays = float(rays)
         return RenderResult(
-            accumulated=self._accum.reshape(cfg.height, cfg.width, 3),
+            accumulated_dev=self._accum.reshape(cfg.height, cfg.width, 3),
             samples=self.progress.accumulated_samples,
             wall_time_s=dt,
             mrays_per_s=rays / dt / 1e6,

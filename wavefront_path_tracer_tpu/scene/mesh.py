@@ -17,13 +17,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-from wavefront_path_tracer_tpu.scene.scene import (
-    DIELECTRIC,
-    LAMBERTIAN,
-    METAL,
-    Scene,
-    SceneBuilder,
-)
+from wavefront_path_tracer_tpu.scene.scene import SceneBuilder
 
 
 class TriangleSoA(NamedTuple):

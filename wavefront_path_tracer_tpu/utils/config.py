@@ -12,7 +12,6 @@ doubles as the CLI surface.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
