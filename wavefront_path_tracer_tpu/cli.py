@@ -47,7 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="fused",
                    choices=["fused", "wavefront", "megakernel"])
     p.add_argument("--intersector", default="bruteforce",
-                   choices=["bruteforce", "bvh"])
+                   choices=["bruteforce", "bvh", "baked"],
+                   help="baked (fused engine only) unrolls the scene into "
+                        "the kernel as constants: fastest, per-scene compile")
     p.add_argument("--frame", type=int, default=0, help="RNG frame salt")
     # Camera (defaults = reference main.rs:23-32 book-one-final camera).
     p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
@@ -63,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first frame "
+                        "into this directory (the deep-dive analog of the "
+                        "reference's per-kernel GPU timestamps)")
     return p
 
 
@@ -132,8 +138,16 @@ def main(argv=None) -> int:
     fps = FramesPerSecond()
     t_start = time.perf_counter()
     result = None
+    first_frame = True
     while True:
-        r = renderer.render_frame()
+        if first_frame and args.profile_dir:
+            from wavefront_path_tracer_tpu.utils.profiling import trace_to
+
+            with trace_to(args.profile_dir):
+                r = renderer.render_frame()
+        else:
+            r = renderer.render_frame()
+        first_frame = False
         if r is None:
             break
         result = r
