@@ -106,3 +106,15 @@ def test_fused_baked_traces_triangles():
     assert np.isfinite(fz.accumulated).all()
     assert abs(fz.accumulated.mean() - mk.accumulated.mean()) < 2e-3
     assert rmse(fz.image, mk.image) < 5e-3
+
+
+def test_triangles_with_bvh_spheres():
+    """Triangles compose with the BVH sphere intersector too."""
+    scene, tris = mesh_demo_scene()
+    cc = _mesh_camera()
+    cfg = CFG.replace(intersector="bvh", use_bvh=True)
+    bf = render(scene, cc, CFG.replace(engine="wavefront"), triangles=tris)
+    bv = render(scene, cc, cfg.replace(engine="wavefront"), triangles=tris)
+    from wavefront_path_tracer_tpu.utils.image import rmse
+
+    assert rmse(bf.image, bv.image) < 5e-3
