@@ -131,3 +131,12 @@ def test_material_split_identical(book_cover_scene, oracle_result):
         BASE.replace(engine="wavefront", material_split=True),
     )
     np.testing.assert_array_equal(wf.accumulated, oracle_result.accumulated)
+
+
+def test_energy_conservation(book_cover_scene, oracle_result):
+    """Property: with albedos <= 1 and sky radiance <= 1, per-sample
+    radiance is bounded by 1 per channel (multiplicative throughput
+    never amplifies; SURVEY.md §4's suggested property test)."""
+    avg = oracle_result.accumulated / oracle_result.samples
+    assert (avg <= 1.0 + 1e-5).all()
+    assert (avg >= 0.0).all()
