@@ -96,8 +96,12 @@ def main() -> None:
             ("megakernel", ("bvh", "bruteforce")),
         ):
             for intersector in intersectors:
+                # The XLA engines are ~100x slower; a multi-minute single
+                # dispatch trips the device watchdog, so give them a
+                # smaller (rate-equivalent) sample budget.
+                spp = args.spp if engine == "fused" else max(1, args.spp // 8)
                 try:
-                    r = bench_once(args.scene, args.width, args.height, args.spp,
+                    r = bench_once(args.scene, args.width, args.height, spp,
                                    engine, intersector, args.max_bounces)
                 except Exception as e:  # keep sweeping
                     print(f"{engine}/{intersector}: FAILED {e}", file=sys.stderr)
