@@ -53,3 +53,11 @@ def test_fused_defocus_blur(book_cover_scene):
     ref = render(book_cover_scene, cam, cfg.replace(engine="megakernel"))
     fz = render(book_cover_scene, cam, cfg.replace(engine="fused"))
     _statistically_equal(fz, ref)
+
+
+def test_baked_cluster_culling_matches(book_cover_scene, oracle):
+    """Morton-cluster culling is conservative: statistically identical
+    images (sphere reorder shifts only near-tie winners)."""
+    cfg = BASE.replace(engine="fused", intersector="baked", baked_clusters=2)
+    fz = render(book_cover_scene, _cover_camera(), cfg)
+    _statistically_equal(fz, oracle)

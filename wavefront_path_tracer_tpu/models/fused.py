@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wavefront_path_tracer_tpu.ops.pallas_kernels import (
+    baked_cluster_intersect,
     baked_intersect,
     fused_render_baked,
     fused_render_persistent,
@@ -57,7 +58,7 @@ def _plane(x, rows_total):
     return x.reshape(rows_total, _LANES)
 
 
-def _baked_fn(scene_arrays):
+def _baked_fn(scene_arrays, clusters: int = 0):
     centers = np.asarray(scene_arrays["centers"])
     triangles = None
     tri_key = 0
@@ -74,19 +75,25 @@ def _baked_fn(scene_arrays):
             mat_type=np.asarray(scene_arrays["tri_mat_type"]),
         )
         tri_key = hash(triangles.v0.tobytes())
+    if triangles is not None:
+        clusters = 0  # the cluster variant is spheres-only
     key = (centers.shape[0], hash(centers.tobytes()),
-           hash(np.asarray(scene_arrays["albedo"]).tobytes()), tri_key)
+           hash(np.asarray(scene_arrays["albedo"]).tobytes()), tri_key,
+           clusters)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
-        fn = baked_intersect(
+        args = (
             centers,
             np.asarray(scene_arrays["radii"]),
             np.asarray(scene_arrays["albedo"]),
             np.asarray(scene_arrays["fuzz"]),
             np.asarray(scene_arrays["refract_idx"]),
             np.asarray(scene_arrays["mat_type"]),
-            triangles=triangles,
         )
+        if clusters > 0:
+            fn = baked_cluster_intersect(*args, cluster_size=clusters)
+        else:
+            fn = baked_intersect(*args, triangles=triangles)
         _BAKED_CACHE[key] = fn
     return fn
 
@@ -102,7 +109,7 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     if config.intersector == "baked":
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
-            n_samples, baked_fn=_baked_fn(scene_arrays),
+            n_samples, baked_fn=_baked_fn(scene_arrays, config.baked_clusters),
         )
     if "tri_v0" in scene_arrays:
         raise NotImplementedError(

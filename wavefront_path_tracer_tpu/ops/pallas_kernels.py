@@ -704,6 +704,163 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
     return intersect
 
 
+def _morton_order(centers):
+    """Morton (Z-curve) ordering of sphere centers — groups spatial
+    neighbors so cluster AABBs stay tight."""
+    import numpy as np
+
+    lo = centers.min(axis=0)
+    span = np.maximum(centers.max(axis=0) - lo, 1e-6)
+    q = np.clip(((centers - lo) / span * 1023.0).astype(np.uint64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
+def baked_cluster_intersect(centers, radii, albedo, fuzz, refract_idx,
+                            mat_type, cluster_size: int = 32):
+    """Cluster-culled variant of :func:`baked_intersect` (spheres only).
+
+    Spheres are Morton-sorted and grouped into fixed-size clusters whose
+    AABBs are baked as constants.  Each cluster's unrolled sphere tests
+    run under ``pl.when(any(slab_entry < best_t))``: when no lane in the
+    tile can possibly improve its nearest hit inside the cluster's box
+    (either the box is behind/missed or already farther than every
+    lane's current hit), the whole cluster is skipped.  Winner state
+    lives in VMEM scratch so the conditional bodies can mutate it.
+
+    Cull correctness: the AABB entry distance lower-bounds every
+    contained sphere's hit t, and rays starting inside the box get entry
+    0 — the skip test is conservative, so results are identical to the
+    unculled kernel.
+    """
+    import numpy as np
+
+    order = _morton_order(np.asarray(centers))
+    centers = np.asarray(centers)[order]
+    radii = np.asarray(radii)[order]
+    albedo = np.asarray(albedo)[order]
+    fuzz = np.asarray(fuzz)[order]
+    refract_idx = np.asarray(refract_idx)[order]
+    mat_type = np.asarray(mat_type)[order]
+
+    n = centers.shape[0]
+    clusters = []
+    for start in range(0, n, cluster_size):
+        end = min(start + cluster_size, n)
+        lo = (centers[start:end] - radii[start:end, None]).min(axis=0)
+        hi = (centers[start:end] + radii[start:end, None]).max(axis=0)
+        sph = [
+            (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
+             float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
+             float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
+             float(mat_type[i]))
+            for i in range(start, end)
+        ]
+        clusters.append((lo.tolist(), hi.tolist(), sph))
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        f32 = jnp.float32
+        shape = ox.shape
+        a_q = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a_q
+        # Slab reciprocals, once per bounce (IEEE inf handles axis-parallel).
+        idx_ = 1.0 / dx
+        idy_ = 1.0 / dy
+        idz_ = 1.0 / dz
+
+        def body(t_ref, cx_ref, cy_ref, cz_ref, ir_ref, ar_ref, ag_ref,
+                 ab_ref, fz_ref, io_ref, mt_ref):
+            t_ref[:] = jnp.full(shape, T_FAR, f32)
+            cx_ref[:] = jnp.zeros(shape, f32)
+            cy_ref[:] = jnp.zeros(shape, f32)
+            cz_ref[:] = jnp.zeros(shape, f32)
+            ir_ref[:] = jnp.ones(shape, f32)
+            ar_ref[:] = jnp.zeros(shape, f32)
+            ag_ref[:] = jnp.zeros(shape, f32)
+            ab_ref[:] = jnp.zeros(shape, f32)
+            fz_ref[:] = jnp.zeros(shape, f32)
+            io_ref[:] = jnp.ones(shape, f32)
+            mt_ref[:] = jnp.zeros(shape, f32)
+
+            for lo, hi, sph in clusters:
+                tx0 = (lo[0] - ox) * idx_
+                tx1 = (hi[0] - ox) * idx_
+                tmin = jnp.minimum(tx0, tx1)
+                tmax = jnp.maximum(tx0, tx1)
+                ty0 = (lo[1] - oy) * idy_
+                ty1 = (hi[1] - oy) * idy_
+                tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+                tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+                tz0 = (lo[2] - oz) * idz_
+                tz1 = (hi[2] - oz) * idz_
+                tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+                tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+                enter = jnp.maximum(tmin, 0.0)
+                could_improve = (tmin <= tmax) & (tmax > T_MIN) & (enter < t_ref[:])
+
+                @pl.when(jnp.any(could_improve))
+                def _(sph=sph):
+                    best_t = t_ref[:]
+                    b_cx, b_cy, b_cz = cx_ref[:], cy_ref[:], cz_ref[:]
+                    b_ir = ir_ref[:]
+                    b_ar, b_ag, b_ab = ar_ref[:], ag_ref[:], ab_ref[:]
+                    b_fz, b_io, b_mt = fz_ref[:], io_ref[:], mt_ref[:]
+                    for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
+                        ocx = ox - cx
+                        ocy = oy - cy
+                        ocz = oz - cz
+                        b_q = dx * ocx + dy * ocy + dz * ocz
+                        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                        disc = b_q * b_q - a_q * c_q
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        t1 = (-b_q - sq) * inv_a
+                        t2 = (-b_q + sq) * inv_a
+                        t = jnp.where(t1 > T_MIN, t1,
+                                      jnp.where(t2 > T_MIN, t2, T_FAR))
+                        t = jnp.where(disc >= 0.0, t, T_FAR)
+                        better = t < best_t
+                        best_t = jnp.where(better, t, best_t)
+                        b_cx = jnp.where(better, cx, b_cx)
+                        b_cy = jnp.where(better, cy, b_cy)
+                        b_cz = jnp.where(better, cz, b_cz)
+                        b_ir = jnp.where(better, 1.0 / r, b_ir)
+                        b_ar = jnp.where(better, ar, b_ar)
+                        b_ag = jnp.where(better, ag, b_ag)
+                        b_ab = jnp.where(better, ab, b_ab)
+                        b_fz = jnp.where(better, fz, b_fz)
+                        b_io = jnp.where(better, ior, b_io)
+                        b_mt = jnp.where(better, mt, b_mt)
+                    t_ref[:] = best_t
+                    cx_ref[:] = b_cx
+                    cy_ref[:] = b_cy
+                    cz_ref[:] = b_cz
+                    ir_ref[:] = b_ir
+                    ar_ref[:] = b_ar
+                    ag_ref[:] = b_ag
+                    ab_ref[:] = b_ab
+                    fz_ref[:] = b_fz
+                    io_ref[:] = b_io
+                    mt_ref[:] = b_mt
+
+            return (t_ref[:], cx_ref[:], cy_ref[:], cz_ref[:], ir_ref[:],
+                    ar_ref[:], ag_ref[:], ab_ref[:], fz_ref[:],
+                    io_ref[:], mt_ref[:])
+
+        return pl.run_scoped(
+            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(11)]
+        )
+
+    return intersect
+
+
 def make_persistent_tile(intersect_fn=None):
     """Build the persistent-lane kernel.
 

@@ -36,6 +36,9 @@ class RenderConfig:
     # Wavefront engine: partition the hit queue by material and shade
     # with per-material kernels (the reference's TODO, README.md:19).
     material_split: bool = False
+    # Fused/baked engine: cluster size for Morton-cluster culling
+    # (0 = no culling; spheres only, ignored when triangles are present).
+    baked_clusters: int = 0
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination instead of the reference's lossy `misses < 128`
