@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--intersector", default="baked")
     p.add_argument("--oracle-engine", default="megakernel")
     p.add_argument("--oracle-intersector", default="bruteforce")
+    p.add_argument("--oracle-spf", type=int, default=10,
+                   help="oracle frame-batch size (the XLA oracle is slow; "
+                        "multi-minute single dispatches trip the device "
+                        "watchdog, so its spp budget runs in batches)")
     p.add_argument("--gate", type=float, default=1e-3)
     p.add_argument("--save-prefix", default=None,
                    help="write <prefix>_test.png / <prefix>_oracle.png")
@@ -55,6 +59,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     test = render(scene, cc, base.replace(
         engine=args.engine, intersector=args.intersector,
+        samples_per_frame=min(args.spp, 200),
         use_bvh=(args.intersector == "bvh")))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
@@ -63,6 +68,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     oracle = render(scene, cc, base.replace(
         engine=args.oracle_engine, intersector=args.oracle_intersector,
+        samples_per_frame=min(args.oracle_spf, args.spp),
         use_bvh=(args.oracle_intersector == "bvh")))
     t_oracle = time.time() - t0
     print(f"oracle done in {t_oracle:.1f}s", file=sys.stderr)
