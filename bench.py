@@ -38,7 +38,6 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         width=width, height=height, samples_per_pixel=spp,
         samples_per_frame=spp, max_bounces=max_bounces,
         engine=engine, intersector=intersector,
-        use_bvh=(intersector == "bvh"),
     )
     scene = get_scene(scene_name)
     cc = CameraController.book_one_final()

@@ -12,7 +12,7 @@ def _session(scene):
     cc.defocus_angle_deg = 0.0
     cfg = RenderConfig(width=32, height=18, samples_per_pixel=4,
                        samples_per_frame=1, max_bounces=4,
-                       engine="megakernel", use_bvh=False)
+                       engine="megakernel")
     return InteractiveSession(scene, cc, cfg)
 
 

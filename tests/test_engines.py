@@ -26,7 +26,7 @@ def _cover_camera():
 
 BASE = RenderConfig(
     width=64, height=36, samples_per_pixel=4, samples_per_frame=4,
-    max_bounces=12, use_bvh=False, intersector="bruteforce",
+    max_bounces=12, intersector="bruteforce",
 )
 
 
@@ -66,7 +66,7 @@ def test_wavefront_chunked_matches(book_cover_scene, oracle_result):
 
 def test_bvh_engines_bit_identical(book_cover_scene):
     """Same intersector => wavefront and megakernel stay bit-identical."""
-    cfg = BASE.replace(intersector="bvh", use_bvh=True)
+    cfg = BASE.replace(intersector="bvh")
     mk = _render(book_cover_scene, _cover_camera(), cfg.replace(engine="megakernel"))
     wf = _render(book_cover_scene, _cover_camera(), cfg.replace(engine="wavefront"))
     np.testing.assert_array_equal(wf.accumulated, mk.accumulated)
@@ -79,7 +79,7 @@ def test_bvh_vs_bruteforce_statistical(book_cover_scene):
     cfg = BASE.replace(samples_per_pixel=8, samples_per_frame=8)
     bf = _render(book_cover_scene, _cover_camera(), cfg)
     bv = _render(book_cover_scene, _cover_camera(),
-                 cfg.replace(intersector="bvh", use_bvh=True))
+                 cfg.replace(intersector="bvh"))
     assert rmse(bf.image, bv.image) < 5e-3
 
 

@@ -72,7 +72,7 @@ def _mesh_camera():
 
 
 CFG = RenderConfig(width=64, height=36, samples_per_pixel=4,
-                   samples_per_frame=4, max_bounces=8, use_bvh=False)
+                   samples_per_frame=4, max_bounces=8)
 
 
 def test_mesh_scene_renders_and_engines_agree():
@@ -112,7 +112,7 @@ def test_triangles_with_bvh_spheres():
     """Triangles compose with the BVH sphere intersector too."""
     scene, tris = mesh_demo_scene()
     cc = _mesh_camera()
-    cfg = CFG.replace(intersector="bvh", use_bvh=True)
+    cfg = CFG.replace(intersector="bvh")
     bf = render(scene, cc, CFG.replace(engine="wavefront"), triangles=tris)
     bv = render(scene, cc, cfg.replace(engine="wavefront"), triangles=tris)
     from wavefront_path_tracer_tpu.utils.image import rmse

@@ -23,7 +23,7 @@ def _camera():
 
 CFG = RenderConfig(
     width=64, height=32, samples_per_pixel=4, samples_per_frame=4,
-    max_bounces=8, use_bvh=False, engine="wavefront",
+    max_bounces=8, engine="wavefront",
 )
 
 

@@ -40,9 +40,10 @@ _KEY_ACTIONS = {
 class InteractiveSession:
     """Headless interactive rendering: input events + progressive frames."""
 
-    def __init__(self, scene: Scene, camera: CameraController, config: RenderConfig):
+    def __init__(self, scene: Scene, camera: CameraController,
+                 config: RenderConfig, triangles=None):
         self.camera = camera
-        self.renderer = Renderer(scene, camera, config)
+        self.renderer = Renderer(scene, camera, config, triangles=triangles)
         self.fps = FramesPerSecond()
         self._last_step = time.perf_counter()
 
@@ -95,8 +96,7 @@ class InteractiveSession:
 
 def repl(argv=None) -> int:
     """Tiny terminal loop: one-letter move commands, renders previews."""
-    from wavefront_path_tracer_tpu.cli import build_parser
-    from wavefront_path_tracer_tpu.scene.scene import get_scene
+    from wavefront_path_tracer_tpu.cli import build_parser, build_scene
     from wavefront_path_tracer_tpu.utils.image import write_png
 
     args = build_parser().parse_args(argv)
@@ -104,14 +104,17 @@ def repl(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    scene_kwargs = {"seed": args.scene_seed} if args.scene == "book_one_final" else {}
-    scene = get_scene(args.scene, **scene_kwargs)
+    scene, triangles = build_scene(args)
+    intersector = args.intersector
+    if triangles is not None and args.engine == "fused" and intersector != "baked":
+        intersector = "baked"
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, samples_per_frame=args.spf,
-                       max_bounces=args.max_bounces, engine=args.engine)
-    session = InteractiveSession(scene, cc, cfg)
+                       max_bounces=args.max_bounces, engine=args.engine,
+                       intersector=intersector)
+    session = InteractiveSession(scene, cc, cfg, triangles=triangles)
 
     print("commands: w/a/s/d/q/e move, r render-to-spp, p save png, x quit",
           file=sys.stderr)

@@ -72,6 +72,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_scene(args):
+    """(scene, triangles | None) from parsed CLI args — shared with the
+    interactive REPL (app.py) so every documented --scene value works in
+    both entry points."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    if args.obj:
+        from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
+
+        b = MeshSceneBuilder()
+        ground = b.lambertian([0.5, 0.5, 0.5])
+        b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+        load_obj(args.obj, builder=b, scale=args.obj_scale)
+        return b.build_mesh_scene()
+    if args.scene == "mesh_demo":
+        from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
+
+        return mesh_demo_scene()
+    scene_kwargs = {}
+    if args.scene == "book_one_final":
+        scene_kwargs["seed"] = args.scene_seed
+    elif args.scene == "procedural":
+        scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
+    return get_scene(args.scene, **scene_kwargs), None
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -91,26 +117,16 @@ def main(argv=None) -> int:
     )
     from wavefront_path_tracer_tpu.utils.profiling import FramesPerSecond
 
-    triangles = None
-    if args.obj:
-        from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
+    scene, triangles = build_scene(args)
 
-        b = MeshSceneBuilder()
-        ground = b.lambertian([0.5, 0.5, 0.5])
-        b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
-        load_obj(args.obj, builder=b, scale=args.obj_scale)
-        scene, triangles = b.build_mesh_scene()
-    elif args.scene == "mesh_demo":
-        from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
-
-        scene, triangles = mesh_demo_scene()
-    else:
-        scene_kwargs = {}
-        if args.scene == "book_one_final":
-            scene_kwargs["seed"] = args.scene_seed
-        elif args.scene == "procedural":
-            scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
-        scene = get_scene(args.scene, **scene_kwargs)
+    # The fused engine traces triangles only via the baked intersector;
+    # upgrade automatically instead of erroring on the documented flow.
+    intersector = args.intersector
+    if triangles is not None and args.engine == "fused" and intersector != "baked":
+        intersector = "baked"
+        if not args.quiet:
+            print("note: triangle scene with --engine fused -> using "
+                  "intersector=baked", file=sys.stderr)
 
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
@@ -122,8 +138,7 @@ def main(argv=None) -> int:
         width=args.width, height=args.height,
         samples_per_pixel=args.spp, samples_per_frame=args.spf,
         max_bounces=args.max_bounces, frame=args.frame,
-        engine=args.engine, intersector=args.intersector,
-        use_bvh=(args.intersector == "bvh"),
+        engine=args.engine, intersector=intersector,
     )
 
     renderer = Renderer(scene, cc, cfg, triangles=triangles)

@@ -74,12 +74,18 @@ def _baked_fn(scene_arrays, clusters: int = 0):
             refract_idx=np.asarray(scene_arrays["tri_refract"]),
             mat_type=np.asarray(scene_arrays["tri_mat_type"]),
         )
-        tri_key = hash(triangles.v0.tobytes())
+        tri_key = 1  # replaced with the full fingerprint below
     if triangles is not None:
         clusters = 0  # the cluster variant is spheres-only
-    key = (centers.shape[0], hash(centers.tobytes()),
-           hash(np.asarray(scene_arrays["albedo"]).tobytes()), tri_key,
-           clusters)
+        tri_key = hash(b"".join(np.asarray(t).tobytes() for t in triangles))
+    # Fingerprint EVERY baked table — scenes differing only in radii or
+    # materials must not reuse a stale kernel.
+    sphere_key = hash(b"".join(
+        np.asarray(scene_arrays[k]).tobytes()
+        for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
+                  "mat_type")
+    ))
+    key = (centers.shape[0], sphere_key, tri_key, clusters)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         args = (

@@ -26,12 +26,16 @@ from wavefront_path_tracer_tpu.scene.scene import DIELECTRIC
 def _intersect_spheres(origin, direction, scene_arrays, config):
     if config.intersector == "bvh":
         from wavefront_path_tracer_tpu.ops.bvh_traverse import intersect_bvh
+        from wavefront_path_tracer_tpu.scene.bvh import MAX_LEAF_SIZE
 
+        # max_leaf_size must match the builder's cap or the traversal's
+        # fixed-width leaf unroll would skip primitives.
         return intersect_bvh(
             origin, direction,
             scene_arrays["centers"], scene_arrays["radii"],
             scene_arrays["bvh_min"], scene_arrays["bvh_max"],
             scene_arrays["bvh_left_first"], scene_arrays["bvh_prim_count"],
+            max_leaf_size=MAX_LEAF_SIZE,
         )
     return intersect_bruteforce(
         origin, direction, scene_arrays["centers"], scene_arrays["radii"],

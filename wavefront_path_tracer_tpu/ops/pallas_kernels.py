@@ -1,23 +1,27 @@
-"""Fused Pallas TPU kernel: extend + shade for one bounce of a ray tile.
+"""Fused Pallas TPU megakernel: the whole path-tracing loop per ray tile.
 
-This is the speed-of-light path for sphere scenes (the reference's K2+K3,
-``extend.wgsl`` + ``shade.wgsl``, fused).  Design, driven by measured
-device characteristics (HBM streaming ~2 orders below VPU throughput):
+This is the speed-of-light path (the reference's K1-K5 fused into one
+kernel).  Design, driven by measured device characteristics (HBM
+streaming ~2 orders below VPU throughput):
 
-* The whole SoA scene (centers/radii/materials, a few tens of KB) lives
-  in VMEM; the kernel loops over spheres as *scalars* while keeping a
-  (8, 128) = 1024-ray tile fully vectorized on the VPU — the transpose
-  of the reference's thread-per-ray SIMT layout.
-* The nearest-hit "argmin" carries the winning sphere's attributes
-  (center, radius, material) through running ``where`` selects, so no
-  gather ever touches HBM and no hit-payload queue exists at all —
-  extend's output feeds shade in registers.
-* Shading (all three RTIOW BSDFs, branchless) and the bit-exact PCG
-  RNG (ops/rng.py formulas) run inline on the same tile.
-* Miss lanes emit sky radiance (K4) and die; the bounce loop outside
-  sees only an ``alive`` mask — no atomics, no compaction, no host
-  syncs.  On hardware where a 128k-lane sort costs ~2 ms, masked dead
-  lanes are far cheaper than sort-based queue compaction.
+* The whole SoA scene lives in VMEM (``_intersect_tile``) or is unrolled
+  as vector immediates (``baked_intersect`` — dynamic scalar loads
+  measured ~10x the vector math); the sphere loop keeps a
+  (rows, 128)-ray tile fully vectorized on the VPU — the transpose of
+  the reference's thread-per-ray SIMT layout.
+* The nearest-hit "argmin" carries the winning primitive's attributes
+  through running ``where`` selects, so no gather ever touches HBM and
+  no hit-payload queue exists at all — extend's output feeds shade in
+  registers.
+* Ray generation, shading (all three RTIOW BSDFs, branchless), and the
+  integer-exact PCG RNG (ops/rng.py formulas) run inline on the tile.
+* Lanes are *persistent* (``_persistent_impl``): a terminated path's
+  lane immediately regenerates its pixel's next sample, so utilization
+  stays ~100% with no atomics, no compaction, and no host syncs.  On
+  hardware where a 128k-lane sort costs ~2 ms, that beats sort-based
+  queue compaction outright.
+* Optional Morton-cluster culling (``baked_cluster_intersect``) skips
+  whole 32-sphere clusters under ``pl.when`` when no lane can improve.
 
 Rays per tile: ROWS x 128 (ROWS=8 default).  All per-ray fields are
 separate (ROWS, 128) f32/u32 planes (pure SoA).
@@ -72,147 +76,6 @@ def _next_f32(state):
     hi = pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32)
     lo = pltpu.bitcast(w & _u32(0xFF), jnp.int32).astype(jnp.float32)
     return state, (hi * 256.0 + lo) * jnp.float32(_U32_TO_F32)
-
-
-def bounce_kernel(
-    # scene (full-array VMEM residents)
-    scn_ref,      # (S, 16) f32: cols cx cy cz r alb_r alb_g alb_b fuzz ior mtype
-                  # (row-major so the sphere loop's dynamic index is on the
-                  # sublane dim — dynamic lane indexing doesn't compile)
-    nsph_ref,     # (1, 1) i32 in SMEM: real sphere count
-    salt_ref,     # (1, 3) u32 in SMEM: frame, sample, bounce
-    # ray tile (SoA planes)
-    px_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    tr_ref, tg_ref, tb_ref, alive_ref,
-    # outputs
-    ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-    tr_o, tg_o, tb_o, alive_o, rad_r_o, rad_g_o, rad_b_o,
-):
-    f32 = jnp.float32
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    alive = alive_ref[:] > 0
-
-    n_spheres = nsph_ref[0, 0]
-
-    # ---- extend: nearest hit over all spheres (shared sphere loop) ----
-    (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-     b_fuzz, b_ior, b_mt) = _intersect_tile(
-        scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
-
-    hit = (best_t < T_FAR) & alive
-    missed = alive & ~hit
-
-    # ---- K4 miss: sky radiance for terminated lanes ----
-    sky_a = 0.5 * (dy + 1.0)
-    tr, tg, tb = tr_ref[:], tg_ref[:], tb_ref[:]
-    mr = jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
-    mg = jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
-    mb = jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
-    rad_r_o[:] = mr
-    rad_g_o[:] = mg
-    rad_b_o[:] = mb
-
-    # ---- K3 shade: RNG stream per (pixel, frame, sample, bounce) ----
-    frame = salt_ref[0, 0]
-    sample = salt_ref[0, 1]
-    bounce = salt_ref[0, 2]
-    pix = px_ref[:]
-    base = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
-    state = _jenkins(base + sample * _u32(_SAMPLE_STRIDE)
-                     + (bounce + _u32(1)) * _u32(_BOUNCE_STRIDE))
-    state, u1 = _next_f32(state)
-    state, u2 = _next_f32(state)
-    state, u3 = _next_f32(state)
-    state, r_reflect = _next_f32(state)
-
-    # unit-ball sample -> normalized to the unit sphere (shade.wgsl:103)
-    rr = jnp.exp(jnp.log(jnp.maximum(u1, 1e-37)) * jnp.float32(0.33333))
-    cos_th = 1.0 - 2.0 * u2
-    sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
-    phi = jnp.float32(2.0 * _PI) * u3
-    sx = rr * sin_th * jnp.cos(phi)
-    sy = rr * sin_th * jnp.sin(phi)
-    sz = rr * cos_th
-    s_norm = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-37))
-    sx, sy, sz = sx * s_norm, sy * s_norm, sz * s_norm
-
-    # hit point + outward normal (normal = (p - c) / r)
-    p_x = ox + best_t * dx
-    p_y = oy + best_t * dy
-    p_z = oz + best_t * dz
-    nx = (p_x - b_cx) * b_inv_r
-    ny = (p_y - b_cy) * b_inv_r
-    nz = (p_z - b_cz) * b_inv_r
-    # renormalize (r division is exact only for perfect geometry)
-    n_norm = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-37))
-    nx, ny, nz = nx * n_norm, ny * n_norm, nz * n_norm
-
-    # Lambertian: n + s (degenerate -> n)
-    lx, ly, lz = nx + sx, ny + sy, nz + sz
-    l_len2 = lx * lx + ly * ly + lz * lz
-    degen = l_len2 < 1e-6  # |v| < 1e-3 (shade.wgsl:106)
-    lx = jnp.where(degen, nx, lx)
-    ly = jnp.where(degen, ny, ly)
-    lz = jnp.where(degen, nz, lz)
-
-    # Metal: reflect(d, n) + fuzz * s
-    d_dot_n = dx * nx + dy * ny + dz * nz
-    rfx = dx - 2.0 * d_dot_n * nx
-    rfy = dy - 2.0 * d_dot_n * ny
-    rfz = dz - 2.0 * d_dot_n * nz
-    mx = rfx + b_fuzz * sx
-    my = rfy + b_fuzz * sy
-    mz = rfz + b_fuzz * sz
-
-    # Dielectric (shade.wgsl:115-151); d is unit
-    cos_theta = jnp.minimum(-(d_dot_n), 1.0)
-    outside = cos_theta >= 0.0
-    eta = jnp.where(outside, 1.0 / b_ior, b_ior)
-    fnx = jnp.where(outside, nx, -nx)
-    fny = jnp.where(outside, ny, -ny)
-    fnz = jnp.where(outside, nz, -nz)
-    cos_theta = jnp.abs(cos_theta)
-    r0 = (1.0 - eta) / (1.0 + eta)
-    r0 = r0 * r0
-    one_m = 1.0 - cos_theta
-    om2 = one_m * one_m
-    reflectance = r0 + (1.0 - r0) * om2 * om2 * one_m
-    cos_in = dx * fnx + dy * fny + dz * fnz
-    kk = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
-    can_refract = kk >= 0.0
-    coef = eta * cos_in + jnp.sqrt(jnp.maximum(kk, 0.0))
-    refx = eta * dx - coef * fnx
-    refy = eta * dy - coef * fny
-    refz = eta * dz - coef * fnz
-    d_dot_fn = cos_in
-    rlx = dx - 2.0 * d_dot_fn * fnx
-    rly = dy - 2.0 * d_dot_fn * fny
-    rlz = dz - 2.0 * d_dot_fn * fnz
-    take_refract = can_refract & (reflectance <= r_reflect)
-    gx = jnp.where(take_refract, refx, rlx)
-    gy = jnp.where(take_refract, refy, rly)
-    gz = jnp.where(take_refract, refz, rlz)
-
-    is_metal = b_mt == 1.0
-    is_glass = b_mt == 2.0
-    ndx = jnp.where(is_glass, gx, jnp.where(is_metal, mx, lx))
-    ndy = jnp.where(is_glass, gy, jnp.where(is_metal, my, ly))
-    ndz = jnp.where(is_glass, gz, jnp.where(is_metal, mz, lz))
-    inv_len = jax.lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-24))
-    ndx, ndy, ndz = ndx * inv_len, ndy * inv_len, ndz * inv_len
-
-    # write back: hits continue with attenuated throughput
-    ox_o[:] = jnp.where(hit, p_x, ox)
-    oy_o[:] = jnp.where(hit, p_y, oy)
-    oz_o[:] = jnp.where(hit, p_z, oz)
-    dx_o[:] = jnp.where(hit, ndx, dx)
-    dy_o[:] = jnp.where(hit, ndy, dy)
-    dz_o[:] = jnp.where(hit, ndz, dz)
-    tr_o[:] = jnp.where(hit, tr * b_ar, tr)
-    tg_o[:] = jnp.where(hit, tg * b_ag, tg)
-    tb_o[:] = jnp.where(hit, tb * b_ab, tb)
-    alive_o[:] = jnp.where(hit, 1.0, 0.0)
 
 
 def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
@@ -274,7 +137,7 @@ def _shade_tile(pix, frame, sample, bounce,
                 ox, oy, oz, dx, dy, dz,
                 best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
                 b_nx=None, b_ny=None, b_nz=None, b_is_tri=None):
-    """Branchless RTIOW shading for a tile (see bounce_kernel docstring).
+    """Branchless RTIOW shading for a tile (the reference's K3+K4 math).
 
     Returns (p_x, p_y, p_z, ndx, ndy, ndz): hit point and unit
     scattered direction.  RNG draws are the shared per-event streams.
@@ -368,155 +231,6 @@ def _shade_tile(pix, frame, sample, bounce,
     ndz = jnp.where(is_glass, gz, jnp.where(is_metal, mz, lz))
     inv_len = jax.lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-24))
     return p_x, p_y, p_z, ndx * inv_len, ndy * inv_len, ndz * inv_len
-
-
-def megakernel_tile(
-    scn_ref,       # (S, 16) f32 VMEM
-    nsph_ref,      # (1, 1) i32 SMEM
-    salt_ref,      # (1, 3) u32 SMEM: frame, sample_base, max_bounces
-    px_ref,        # (rows, 128) u32   [per tile]
-    alive0_ref,    # (rows, 128) f32   [per tile]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, rows, 128) [per (sample, tile)]
-    rad_r_o, rad_g_o, rad_b_o,  # (rows, 128) f32 accumulators [per tile]
-    rays_o,        # (rows, 128) f32 aux tile; live-ray count lands in [0, 0]
-):
-    """Whole-path megakernel for one (tile, sample) grid step.
-
-    Grid = (n_tiles, n_samples), sample minor: the radiance block for a
-    tile stays VMEM-resident while all its samples accumulate into it.
-    Each step runs the full bounce loop for its tile with a tile-local
-    early exit — a tile whose 1024 rays are all dead stops paying for
-    the scene loop, unlike a global masked bounce loop.
-    """
-    sample_id = pl.program_id(1)
-    frame = salt_ref[0, 0]
-    sample = salt_ref[0, 1] + sample_id.astype(jnp.uint32)
-    max_bounces = salt_ref[0, 2]
-    n_spheres = nsph_ref[0, 0]
-    pix = px_ref[:]
-
-    @pl.when(sample_id == 0)
-    def _():
-        rad_r_o[:] = jnp.zeros_like(rad_r_o)
-        rad_g_o[:] = jnp.zeros_like(rad_g_o)
-        rad_b_o[:] = jnp.zeros_like(rad_b_o)
-        rays_o[:] = jnp.zeros_like(rays_o)
-
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    shape = ox.shape
-    ones = jnp.ones(shape, jnp.float32)
-    zeros = jnp.zeros(shape, jnp.float32)
-    # NOTE: the alive mask is carried as f32 — Mosaic fails to legalize
-    # while_loop carries containing i1 vectors (scf.yield legalization).
-    state0 = (jnp.uint32(0), ox, oy, oz, dx, dy, dz,
-              ones, ones, ones,                 # throughput
-              alive0_ref[:],                    # alive (f32 0/1)
-              zeros, zeros, zeros,              # radiance
-              jnp.float32(0.0))                 # live-ray count
-
-    def cond(c):
-        bounce, alive_f = c[0], c[10]
-        return (bounce < max_bounces) & (jnp.sum(alive_f) > 0.0)
-
-    def body(c):
-        (bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f,
-         rr_acc, rg_acc, rb_acc, nrays) = c
-        alive = alive_f > 0
-        nrays = nrays + jnp.sum(alive_f)
-
-        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-         b_fuzz, b_ior, b_mt) = _intersect_tile(
-            scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
-
-        hit = (best_t < T_FAR) & alive
-        missed = alive & ~hit
-        sky_a = 0.5 * (dy + 1.0)
-        rr_acc = rr_acc + jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
-        rg_acc = rg_acc + jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
-        rb_acc = rb_acc + jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
-
-        p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
-            pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
-            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt)
-
-        ox = jnp.where(hit, p_x, ox)
-        oy = jnp.where(hit, p_y, oy)
-        oz = jnp.where(hit, p_z, oz)
-        dx = jnp.where(hit, ndx, dx)
-        dy = jnp.where(hit, ndy, dy)
-        dz = jnp.where(hit, ndz, dz)
-        tr = jnp.where(hit, tr * b_ar, tr)
-        tg = jnp.where(hit, tg * b_ag, tg)
-        tb = jnp.where(hit, tb * b_ab, tb)
-        return (bounce + jnp.uint32(1), ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                jnp.where(hit, 1.0, 0.0), rr_acc, rg_acc, rb_acc, nrays)
-
-    final = jax.lax.while_loop(cond, body, state0)
-    rad_r_o[:] = rad_r_o[:] + final[11]
-    rad_g_o[:] = rad_g_o[:] + final[12]
-    rad_b_o[:] = rad_b_o[:] + final[13]
-    # Scalar VMEM stores are unsupported; deposit the count at [0, 0]
-    # via a masked vector add (the rest of the aux tile stays 0).
-    row_id = jax.lax.broadcasted_iota(jnp.int32, rays_o.shape, 0)
-    col_id = jax.lax.broadcasted_iota(jnp.int32, rays_o.shape, 1)
-    first = (row_id == 0) & (col_id == 0)
-    rays_o[:] = rays_o[:] + jnp.where(first, final[14], 0.0)
-
-
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
-def fused_render(
-    scene_packed,   # (S, 16) f32
-    n_spheres,      # i32 scalar
-    salts,          # (3,) u32: frame, sample_base, max_bounces
-    pix,            # (rows_total, 128) u32
-    alive0,         # (rows_total, 128) f32
-    ox, oy, oz, dx, dy, dz,  # (n_samples, rows_total, 128) f32
-    rows: int = 8,
-    interpret: bool = False,
-):
-    """All samples x all bounces in one Pallas call.
-
-    Returns (rad_r, rad_g, rad_b (rows_total, 128), rays_per_tile
-    (n_tiles, 1)).
-    """
-    n_samples, total_rows, _ = ox.shape
-    assert total_rows % rows == 0
-    n_tiles = total_rows // rows
-    grid = (n_tiles, n_samples)
-
-    tile_spec = pl.BlockSpec((rows, 128), lambda t, s: (t, 0),
-                             memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((1, rows, 128), lambda t, s: (s, t, 0),
-                            memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    f32 = jnp.float32
-    outs = pl.pallas_call(
-        megakernel_tile,
-        grid=grid,
-        in_specs=[
-            full, smem_i, smem_i,
-            tile_spec,          # pix
-            tile_spec,          # alive0
-            *[ray_spec] * 6,    # ox..dz
-        ],
-        out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((total_rows, 128), f32),
-            jax.ShapeDtypeStruct((total_rows, 128), f32),
-            jax.ShapeDtypeStruct((total_rows, 128), f32),
-            jax.ShapeDtypeStruct((total_rows, 128), f32),
-        ],
-        interpret=interpret,
-    )(
-        scene_packed,
-        jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
-        jnp.reshape(salts.astype(jnp.uint32), (1, 3)),
-        pix, alive0, ox, oy, oz, dx, dy, dz,
-    )
-    return outs
 
 
 def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
@@ -1106,49 +820,3 @@ def pack_scene(scene_arrays, pad_to: int = 8) -> jnp.ndarray:
     return packed
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
-def fused_bounce(
-    scene_packed,  # (16, S) f32
-    n_spheres,     # i32 scalar
-    salts,         # (3,) u32: frame, sample, bounce
-    pix, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive,
-    rows: int = 8,
-    interpret: bool = False,
-):
-    """One extend+shade bounce over (T, 128)-shaped SoA ray planes.
-
-    Returns (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive, rad_r, rad_g,
-    rad_b) with the same shapes.
-    """
-    total_rows = ox.shape[0]
-    assert total_rows % rows == 0
-    grid = (total_rows // rows,)
-    tile = (rows, 128)
-
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    f32 = jnp.float32
-    out_shapes = [jax.ShapeDtypeStruct(ox.shape, f32) for _ in range(13)]
-
-    outs = pl.pallas_call(
-        bounce_kernel,
-        grid=grid,
-        in_specs=[
-            full,                    # scene
-            smem_i,                  # n_spheres
-            smem_i,                  # salts
-            ray_spec,                # pix
-            *[ray_spec] * 10,
-        ],
-        out_specs=[ray_spec] * 13,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(
-        scene_packed,
-        jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
-        jnp.reshape(salts.astype(jnp.uint32), (1, 3)),
-        pix, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive,
-    )
-    return outs

@@ -84,7 +84,7 @@ def render_samples_sharded(
     if config.engine == "fused" and config.intersector == "baked":
         from wavefront_path_tracer_tpu.models.fused import _baked_fn
 
-        baked_fn = _baked_fn(scene_arrays)
+        baked_fn = _baked_fn(scene_arrays, config.baked_clusters)
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the

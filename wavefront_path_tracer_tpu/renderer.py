@@ -38,9 +38,17 @@ def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
     ``build_bvh_tree(&mut spheres)`` (path_tracer.rs:117-118).
     """
     if config.intersector == "bvh":
-        from wavefront_path_tracer_tpu.scene.bvh import build_bvh
+        from wavefront_path_tracer_tpu.ops.bvh_traverse import STACK_DEPTH
+        from wavefront_path_tracer_tpu.scene.bvh import build_bvh, bvh_depth
 
         bvh, scene = build_bvh(scene)
+        depth = bvh_depth(bvh)
+        if depth > STACK_DEPTH:
+            raise ValueError(
+                f"BVH depth {depth} exceeds the traversal stack "
+                f"({STACK_DEPTH}); pushes would be silently dropped. "
+                "Raise ops.bvh_traverse.STACK_DEPTH or rebalance the scene."
+            )
         extra = {
             "bvh_min": jnp.asarray(bvh.aabb_min),
             "bvh_max": jnp.asarray(bvh.aabb_max),

@@ -28,11 +28,16 @@ A C++ drop-in of this builder (same flat-array output) lives in
 
 from __future__ import annotations
 
+import subprocess
 from typing import NamedTuple
 
 import numpy as np
 
 from wavefront_path_tracer_tpu.scene.scene import Scene
+
+# Leaf-size cap shared with the traversal's fixed-width leaf unroll
+# (ops/bvh_traverse.py): both sides must agree or hits are skipped.
+MAX_LEAF_SIZE = 4
 
 
 class FlatBVH(NamedTuple):
@@ -96,7 +101,7 @@ def build_flat_bvh(
     centers: np.ndarray,
     radii: np.ndarray,
     bins: int = 64,
-    max_leaf_size: int = 4,
+    max_leaf_size: int = MAX_LEAF_SIZE,
 ):
     """Build over (centers, radii); returns (FlatBVH, permutation).
 
@@ -179,7 +184,8 @@ def build_flat_bvh(
     return bvh, perm
 
 
-def build_bvh(scene: Scene, bins: int = 64, max_leaf_size: int = 4,
+def build_bvh(scene: Scene, bins: int = 64,
+              max_leaf_size: int = MAX_LEAF_SIZE,
               backend: str = "auto"):
     """Build a BVH for a scene; returns (FlatBVH, reordered scene)."""
     if backend in ("native", "auto"):
@@ -190,7 +196,8 @@ def build_bvh(scene: Scene, bins: int = 64, max_leaf_size: int = 4,
                 scene.centers, scene.radii, bins=bins, max_leaf_size=max_leaf_size
             )
             return bvh, scene.permuted(perm)
-        except (ImportError, OSError):
+        except (ImportError, OSError, subprocess.CalledProcessError):
+            # auto falls back to the numpy builder on any toolchain issue
             if backend == "native":
                 raise
     bvh, perm = build_flat_bvh(scene.centers, scene.radii, bins, max_leaf_size)

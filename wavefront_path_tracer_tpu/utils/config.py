@@ -27,7 +27,6 @@ class RenderConfig:
     samples_per_frame: int = 1         # reference SPF (parameters.rs:5)
     max_bounces: int = 50              # reference bounce cap (path_tracer.rs:323)
     frame: int = 0                     # RNG frame salt
-    use_bvh: bool = True               # reference extend.wgsl:1
     engine: str = "wavefront"          # "megakernel" | "wavefront" | "fused"
     intersector: str = "bruteforce"    # "bruteforce" | "bvh"
     ray_chunk: int = 0                 # 0 = whole wavefront in one chunk

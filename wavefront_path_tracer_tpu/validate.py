@@ -59,8 +59,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     test = render(scene, cc, base.replace(
         engine=args.engine, intersector=args.intersector,
-        samples_per_frame=min(args.spp, 200),
-        use_bvh=(args.intersector == "bvh")))
+        samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
           f"({test.mrays_per_s:.1f} Mrays/s)", file=sys.stderr)
@@ -68,8 +67,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     oracle = render(scene, cc, base.replace(
         engine=args.oracle_engine, intersector=args.oracle_intersector,
-        samples_per_frame=min(args.oracle_spf, args.spp),
-        use_bvh=(args.oracle_intersector == "bvh")))
+        samples_per_frame=min(args.oracle_spf, args.spp)))
     t_oracle = time.time() - t0
     print(f"oracle done in {t_oracle:.1f}s", file=sys.stderr)
 
