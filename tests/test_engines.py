@@ -140,3 +140,14 @@ def test_energy_conservation(book_cover_scene, oracle_result):
     avg = oracle_result.accumulated / oracle_result.samples
     assert (avg <= 1.0 + 1e-5).all()
     assert (avg >= 0.0).all()
+
+
+def test_renders_are_deterministic(book_cover_scene):
+    """Two renders of the same config are bit-identical — the
+    reproducibility the reference cannot offer (its queue order, and
+    hence its shade RNG, is atomics-nondeterministic; SURVEY.md §8
+    quirk 5)."""
+    cc = _cover_camera()
+    a = _render(book_cover_scene, cc, BASE.replace(engine="wavefront"))
+    b = _render(book_cover_scene, cc, BASE.replace(engine="wavefront"))
+    np.testing.assert_array_equal(a.accumulated, b.accumulated)
