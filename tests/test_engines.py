@@ -151,3 +151,27 @@ def test_renders_are_deterministic(book_cover_scene):
     a = _render(book_cover_scene, cc, BASE.replace(engine="wavefront"))
     b = _render(book_cover_scene, cc, BASE.replace(engine="wavefront"))
     np.testing.assert_array_equal(a.accumulated, b.accumulated)
+
+
+def test_bounce_histogram(book_cover_scene):
+    """Queue occupancy: monotone non-increasing, starts at all pixels."""
+    import jax.numpy as jnp
+
+    from wavefront_path_tracer_tpu.models.wavefront import bounce_histogram
+    from wavefront_path_tracer_tpu.renderer import prepare_scene
+
+    cc = _cover_camera()
+    cfg = BASE
+    arrays = prepare_scene(book_cover_scene, cfg)
+    hist = np.asarray(bounce_histogram(
+        arrays, cc.gpu_camera(),
+        jnp.asarray(cc.view_matrix()),
+        jnp.asarray(cc.inverse_projection(cfg.width, cfg.height)),
+        cfg, jnp.uint32(0), jnp.uint32(0),
+    ))
+    assert hist.shape == (cfg.max_bounces,)
+    assert hist[0] == cfg.num_pixels
+    assert (np.diff(hist) <= 0).all()
+    # In this downward-looking view every primary ray hits the ground
+    # dome, but paths die off over the bounce budget.
+    assert hist[-1] < hist[0]

@@ -181,6 +181,43 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
     return state[7], state[8]
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "config"))
+def bounce_histogram(scene_arrays, cam, view, inv_proj, config: RenderConfig,
+                     frame, sample):
+    """Queue-occupancy diagnostics: live-ray count entering each bounce.
+
+    The observability the reference only printed as per-sample counter
+    readbacks (path_tracer.rs:327-345): returns a (max_bounces,) int32
+    array of queue occupancies for one sample, for compaction-efficiency
+    analysis and SPF tuning.
+    """
+    num_pixels = config.num_pixels
+    pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
+    origin, direction = generate_rays(
+        pixel_idx, config.width, config.height, frame, sample,
+        cam, view, inv_proj,
+    )
+    hist = jnp.zeros((config.max_bounces,), jnp.int32)
+    throughput = jnp.ones((num_pixels, 3), jnp.float32)
+
+    def body(bounce, state):
+        origin, direction, alive, hist = state
+        hist = hist.at[bounce].set(jnp.sum(alive.astype(jnp.int32)))
+        t, hit, normal, albedo, fuzz, refract, mat = intersect_and_resolve(
+            origin, direction, scene_arrays, config)
+        p = origin + t[:, None] * direction
+        state_rng = rng.stream_state(pixel_idx, frame, sample, bounce + 1)
+        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract)
+        hit_alive = alive & hit
+        origin = jnp.where(hit_alive[:, None], p, origin)
+        direction = jnp.where(hit_alive[:, None], new_dir, direction)
+        return origin, direction, hit_alive, hist
+
+    state = (origin, direction, jnp.ones((num_pixels,), bool), hist)
+    _, _, _, hist = jax.lax.fori_loop(0, config.max_bounces, body, state)
+    return hist
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "config", "n_samples"))
 def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                    frame, sample_base, n_samples: int):
