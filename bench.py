@@ -24,7 +24,7 @@ BASELINE_MRAYS = 1000.0
 
 def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
-               warmup_spp: int = 1):
+               warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32):
     import jax
     import jax.numpy as jnp
 
@@ -38,6 +38,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         width=width, height=height, samples_per_pixel=spp,
         samples_per_frame=spp, max_bounces=max_bounces,
         engine=engine, intersector=intersector,
+        baked_clusters=clusters, block_tiles=block_tiles,
     )
     scene = get_scene(scene_name)
     cc = CameraController.book_one_final()
@@ -68,7 +69,8 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
     dt = min(times)
     return {
         "scene": scene_name,
-        "config": f"{width}x{height}@{spp}spp/{engine}/{intersector}",
+        "config": (f"{width}x{height}@{spp}spp/{engine}/{intersector}"
+                   + (f"/cull{clusters}" if clusters else "")),
         "rays": rays,
         "seconds": dt,
         "mrays_per_s": rays / dt / 1e6,
@@ -84,6 +86,10 @@ def main() -> None:
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)
+    p.add_argument("--clusters", type=int, default=0,
+                   help="fused/baked: leaf cluster size for consensus culling")
+    p.add_argument("--block-tiles", type=int, default=32,
+                   help="fused: NxN pixel blocks per ray tile (0 = linear)")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
@@ -113,7 +119,8 @@ def main() -> None:
         result = best
     else:
         result = bench_once(args.scene, args.width, args.height, args.spp,
-                            args.engine, args.intersector, args.max_bounces)
+                            args.engine, args.intersector, args.max_bounces,
+                            clusters=args.clusters, block_tiles=args.block_tiles)
 
     value = result["mrays_per_s"]
     print(json.dumps({

@@ -1,0 +1,580 @@
+"""Round-2 kernel-design microbenchmarks (run on the real TPU).
+
+Measures pairs/s (ray-sphere tests per second) for candidate intersect
+loop designs, plus raw in-kernel matmul throughput, to decide the
+round-2 fused-kernel architecture.  Variants:
+
+  A   baked unroll, 11 winner-attribute selects per sphere (status quo)
+  B   baked unroll, best_t+best_idx carries only + unrolled one-hot
+      attribute-accumulate pass
+  C   sphere-major dynamic: fori over 8-sphere VMEM blocks, (8,1)->(8,128)
+      broadcasts, rays one (1,128) row at a time
+  C2  ray-major dynamic: block vector load + static scalar extracts,
+      11 attribute selects (A's structure, no baking)
+  C3  ray-major dynamic: block load + t/idx carries + block one-hot pass
+  D   raw matmul: f32 (128,8)x(8,S2) small-K and (16,S)x(S,128) onehot-shape
+
+Usage: python exp/micro_r2.py [A B C ...]
+"""
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import wavefront_path_tracer_tpu.utils.compile_cache  # noqa: F401,E402 (enables cache)
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S = 400            # spheres
+REPS = int(os.environ.get("REPS", "4000"))  # sphere-set sweeps per kernel call
+ROWS = 8
+T_MIN = 0.001
+T_FAR = 1e30
+
+rng = np.random.RandomState(0)
+centers = rng.uniform(-10, 10, (S, 3)).astype(np.float32)
+radii = rng.uniform(0.2, 1.0, (S,)).astype(np.float32)
+attrs = rng.uniform(0.1, 1.0, (S, 10)).astype(np.float32)  # ar..mt etc.
+# packed dynamic table (S,16): c xyz, r, attrs 10
+packed = np.zeros((S, 16), np.float32)
+packed[:, 0:3] = centers
+packed[:, 3] = radii
+packed[:, 4:14] = attrs
+
+SPH = [tuple(float(v) for v in row) for row in packed[:, :14]]
+
+ox0 = rng.uniform(-1, 1, (ROWS, 128)).astype(np.float32)
+oy0 = rng.uniform(-1, 1, (ROWS, 128)).astype(np.float32)
+oz0 = rng.uniform(-1, 1, (ROWS, 128)).astype(np.float32)
+d = rng.normal(size=(3, ROWS, 128)).astype(np.float32)
+d /= np.linalg.norm(d, axis=0, keepdims=True)
+dx0, dy0, dz0 = d[0], d[1], d[2]
+
+
+def quadratic(ox, oy, oz, dx, dy, dz, cx, cy, cz, r, best_t):
+    """Shared sphere test; returns (t, better)."""
+    ocx = ox - cx
+    ocy = oy - cy
+    ocz = oz - cz
+    b_q = dx * ocx + dy * ocy + dz * ocz
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b_q * b_q - c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b_q - sq
+    t2 = -b_q + sq
+    t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+    t = jnp.where(disc >= 0.0, t, T_FAR)
+    better = t < best_t
+    return t, better
+
+
+def kernel_a(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6  # defeat loop-invariant hoisting
+        best_t = jnp.full(shape, T_FAR, f32)
+        b = [zeros] * 10
+        for cx, cy, cz, r, *a in SPH:
+            t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r, best_t)
+            best_t = jnp.where(better, t, best_t)
+            b = [jnp.where(better, av, bv) for av, bv in zip(a, b)]
+        acc = acc + best_t + b[0] + b[9]
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+def kernel_b(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6
+        best_t = jnp.full(shape, T_FAR, f32)
+        best_i = jnp.full(shape, -1.0, f32)
+        for si, (cx, cy, cz, r, *a) in enumerate(SPH):
+            t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r, best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, f32(si), best_i)
+        # one-hot attribute accumulation pass (unrolled)
+        b = [zeros] * 10
+        for si, (cx, cy, cz, r, *a) in enumerate(SPH):
+            onehot = jnp.where(best_i == f32(si), 1.0, 0.0)
+            b = [bv + onehot * av for av, bv in zip(a, b)]
+        acc = acc + best_t + b[0] + b[9]
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+def kernel_c(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    """Sphere-major dynamic: blocks of 8 spheres on sublanes, 128 rays on lanes."""
+    f32 = jnp.float32
+    nblk = S // 8
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(f32)
+
+    def rep(i, carry):
+        acc, bump = carry
+        bump = bump + 1e-6
+        row_accs = []
+        for rr in range(ROWS):
+            ox = ox_ref[rr:rr + 1, :]
+            oy = oy_ref[rr:rr + 1, :]
+            oz = oz_ref[rr:rr + 1, :]
+            dx = dx_ref[rr:rr + 1, :] + bump
+            dy = dy_ref[rr:rr + 1, :]
+            dz = dz_ref[rr:rr + 1, :]
+
+            def blk_step(k, c):
+                best_t, best_i = c
+                blk = scn_ref[pl.ds(k * 8, 8), :]       # (8,16) dynamic sublane load
+                cx = blk[:, 0:1]
+                cy = blk[:, 1:2]
+                cz = blk[:, 2:3]
+                r = blk[:, 3:4]
+                t, _ = quadratic(ox, oy, oz, dx, dy, dz, cx, cy, cz, r,
+                                 jnp.full((8, 128), T_FAR, f32))
+                # per-block min + index over sublanes
+                tmin = jnp.min(t, axis=0, keepdims=True)          # (1,128)
+                win = jnp.where(t == tmin, iota8 + f32(1.0), f32(0.0))
+                idx = jnp.max(win, axis=0, keepdims=True) - 1.0 + 8.0 * k.astype(f32)
+                better = tmin < best_t
+                best_t = jnp.where(better, tmin, best_t)
+                best_i = jnp.where(better, idx, best_i)
+                return best_t, best_i
+
+            bt0 = jnp.full((1, 128), T_FAR, f32)
+            bi0 = jnp.full((1, 128), -1.0, f32)
+            best_t, best_i = jax.lax.fori_loop(0, nblk, blk_step, (bt0, bi0))
+
+            # attribute fetch pass: one-hot fma over blocks
+            def attr_step(k, accs):
+                blk = scn_ref[pl.ds(k * 8, 8), :]
+                onehot = jnp.where(iota8 + 8.0 * k.astype(f32) == best_i, 1.0, 0.0)
+                return [av + jnp.sum(onehot * blk[:, 4 + j:5 + j], axis=0,
+                                     keepdims=True)
+                        for j, av in enumerate(accs)]
+
+            accs = jax.lax.fori_loop(
+                0, nblk, attr_step, [jnp.zeros((1, 128), f32)] * 10)
+            row_accs.append(best_t + accs[0] + accs[9])
+        acc = acc + jnp.concatenate(row_accs, axis=0)
+        return acc, bump
+
+    acc, _ = jax.lax.fori_loop(
+        0, REPS, rep, (jnp.zeros((ROWS, 128), f32), jnp.float32(0.0)))
+    out_ref[:] = acc
+
+
+def kernel_c2(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    """Ray-major dynamic: block vector load, static scalar extracts, A-style selects."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+    nblk = S // 8
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6
+
+        def blk_step(k, c):
+            best_t, b0, b9 = c
+            blk = scn_ref[pl.ds(k * 8, 8), :]
+            for j in range(8):
+                cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
+                t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r,
+                                      best_t)
+                best_t = jnp.where(better, t, best_t)
+                b0 = jnp.where(better, blk[j, 4], b0)
+                b9 = jnp.where(better, blk[j, 13], b9)
+            return best_t, b0, b9
+
+        best_t, b0, b9 = jax.lax.fori_loop(
+            0, nblk, blk_step, (jnp.full(shape, T_FAR, f32), zeros, zeros))
+        # NOTE: only 2 of 10 attrs carried (cheaper than A; C3 has the full fix)
+        acc = acc + best_t + b0 + b9
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+def kernel_c3(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    """Ray-major dynamic: block load + t/idx carries + one-hot attr pass."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+    nblk = S // 8
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6
+
+        def blk_step(k, c):
+            best_t, best_i = c
+            blk = scn_ref[pl.ds(k * 8, 8), :]
+            base = 8.0 * k.astype(f32)
+            for j in range(8):
+                cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
+                t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r,
+                                      best_t)
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + f32(j), best_i)
+            return best_t, best_i
+
+        best_t, best_i = jax.lax.fori_loop(
+            0, nblk, blk_step,
+            (jnp.full(shape, T_FAR, f32), jnp.full(shape, -1.0, f32)))
+
+        def attr_step(k, accs):
+            blk = scn_ref[pl.ds(k * 8, 8), :]
+            base = 8.0 * k.astype(f32)
+            out = list(accs)
+            for j in range(8):
+                onehot = jnp.where(best_i == base + f32(j), 1.0, 0.0)
+                out = [av + onehot * blk[j, 4 + jj] for jj, av in enumerate(out)]
+            return out
+
+        accs = jax.lax.fori_loop(0, nblk, attr_step, [zeros] * 10)
+        acc = acc + best_t + accs[0] + accs[9]
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+def run_pairs(name, kernel, dynamic_table):
+    ins = [jnp.asarray(x) for x in (ox0, oy0, oz0, dx0, dy0, dz0)]
+    if dynamic_table:
+        ins = [jnp.asarray(packed)] + ins
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fn = jax.jit(functools.partial(
+        pl.pallas_call,
+        kernel,
+        in_specs=[full] * len(ins),
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.float32),
+    )())
+    t0 = time.time()
+    out = np.asarray(fn(*ins))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = np.asarray(fn(*ins))
+        times.append(time.time() - t0)
+    dt = min(times)
+    pairs = REPS * S * ROWS * 128
+    print(f"{name}: {pairs / dt / 1e9:.2f} Gpairs/s  ({dt*1e3:.1f} ms/call, "
+          f"compile {compile_s:.0f}s, checksum {out.sum():.3e})", flush=True)
+
+
+def matmul_bench():
+    f32 = jnp.float32
+    for name, (m, k, n), prec, dt_in in [
+        ("f32 (128,8)x(8,1024) DEFAULT", (128, 8, 1024), "default", f32),
+        ("f32 (128,8)x(8,1024) HIGHEST", (128, 8, 1024), "highest", f32),
+        ("f32 (16,400)x(400,128) DEFAULT", (16, 400, 128), "default", f32),
+        ("f32 (16,400)x(400,128) HIGHEST", (16, 400, 128), "highest", f32),
+        ("f32 (256,128)x(128,256) DEFAULT", (256, 128, 256), "default", f32),
+        ("f32 (256,128)x(128,256) HIGHEST", (256, 128, 256), "highest", f32),
+        ("bf16 (256,128)x(128,256)", (256, 128, 256), "default", jnp.bfloat16),
+    ]:
+        a = jnp.asarray(rng.uniform(-1, 1, (m, k)), dt_in)
+        b = jnp.asarray(rng.uniform(-1, 1, (k, n)), dt_in)
+
+        def kern(a_ref, b_ref, o_ref, prec=prec):
+            av = a_ref[:]
+
+            def rep(i, acc):
+                out = jax.lax.dot_general(
+                    av + acc[0, 0] * 1e-9, b_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)
+                return acc + out
+            o_ref[:] = jax.lax.fori_loop(
+                0, REPS * 4, rep, jnp.zeros((m, n), jnp.float32))
+
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        fn = jax.jit(functools.partial(
+            pl.pallas_call, kern,
+            in_specs=[full, full], out_specs=full,
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32))())
+        t0 = time.time()
+        out = np.asarray(fn(a, b))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = np.asarray(fn(a, b))
+            times.append(time.time() - t0)
+        dt = min(times)
+        flops = 2 * m * k * n * REPS * 4
+        print(f"{name}: {flops / dt / 1e12:.2f} TFLOP/s  ({dt*1e3:.1f} ms, "
+              f"compile {compile_s:.0f}s, sum {out.sum():.3e})", flush=True)
+
+
+def kernel_q(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    """Floor: baked quadratic + best_t min only (no attrs, no idx)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6
+        best_t = jnp.full(shape, T_FAR, f32)
+        for cx, cy, cz, r, *a in SPH:
+            t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r, best_t)
+            best_t = jnp.where(better, t, best_t)
+        acc = acc + best_t
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+def kernel_q2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    """Like Q but sqrt replaced by a multiply — gauges sqrt cost."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    f32 = jnp.float32
+    shape = ox.shape
+    zeros = jnp.zeros(shape, f32)
+
+    def rep(i, carry):
+        acc, dxm = carry
+        dxm = dxm + 1e-6
+        best_t = jnp.full(shape, T_FAR, f32)
+        for cx, cy, cz, r, *a in SPH:
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b_q = dxm * ocx + dy * ocy + dz * ocz
+            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_q * b_q - c_q
+            sq = disc * 0.5  # fake sqrt
+            t1 = -b_q - sq
+            t2 = -b_q + sq
+            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            t = jnp.where(disc >= 0.0, t, T_FAR)
+            best_t = jnp.where(t < best_t, t, best_t)
+        acc = acc + best_t
+        return acc, dxm
+
+    acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+    out_ref[:] = acc
+
+
+
+
+def make_kernel_qn(nchains):
+    """Quadratic with nchains independent best_t chains (ILP test)."""
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+
+        def rep(i, carry):
+            acc, dxm = carry
+            dxm = dxm + 1e-6
+            bts = [jnp.full(shape, T_FAR, f32) for _ in range(nchains)]
+            for si, (cx, cy, cz, r, *a) in enumerate(SPH):
+                c = si % nchains
+                t, better = quadratic(ox, oy, oz, dxm, dy, dz, cx, cy, cz, r, bts[c])
+                bts[c] = jnp.where(better, t, bts[c])
+            best_t = bts[0]
+            for b in bts[1:]:
+                best_t = jnp.minimum(best_t, b)
+            acc = acc + best_t
+            return acc, dxm
+
+        acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+        out_ref[:] = acc
+    return kernel
+
+
+
+def make_kernel_when(n_checks, body_spheres, use_when):
+    """Cost model probe: n_checks consensus gates per rep, each gating
+    body_spheres sphere tests.  use_when=False runs bodies unconditionally."""
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+
+        def scoped(t_ref):
+            def rep(i, carry):
+                acc, dxm = carry
+                dxm = dxm + 1e-6
+                t_ref[:] = jnp.full(shape, T_FAR, f32)
+                for c in range(n_checks):
+                    # fake slab test (~15 ops) + consensus
+                    lo = [-10.0 + c, -1.0, -10.0]
+                    hi = [-8.0 + c, 1.0, -8.0]
+                    tx0 = (lo[0] - ox) / dxm
+                    tx1 = (hi[0] - ox) / dxm
+                    tmin = jnp.minimum(tx0, tx1)
+                    tmax = jnp.maximum(tx0, tx1)
+                    ty0 = (lo[1] - oy) * dy
+                    ty1 = (hi[1] - oy) * dy
+                    tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+                    tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+                    tz0 = (lo[2] - oz) * dz
+                    tz1 = (hi[2] - oz) * dz
+                    tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+                    tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+                    live = (tmin <= tmax) & (jnp.maximum(tmin, 0.0) < t_ref[:])
+
+                    def bodyfn(c=c):
+                        best_t = t_ref[:]
+                        for cx, cy, cz, r, *a in SPH[c * body_spheres:
+                                                     (c + 1) * body_spheres]:
+                            t, better = quadratic(ox, oy, oz, dxm, dy, dz,
+                                                  cx, cy, cz, r, best_t)
+                            best_t = jnp.where(better, t, best_t)
+                        t_ref[:] = best_t
+
+                    if use_when:
+                        pl.when(jnp.any(live))(bodyfn)
+                    else:
+                        bodyfn()
+                acc = acc + t_ref[:]
+                return acc, dxm
+
+            acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped, pltpu.VMEM(shape, jnp.float32))
+    return kernel
+
+
+def make_kernel_when2(n_checks, body_spheres, mode):
+    """Batched-consensus probes.  mode: "pre" = all any()s computed up
+    front then scalar whens; "pack" = single or-reduce of an int32
+    bitmask plane then scalar bit-test whens."""
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+
+        def boxtest(c, dxm, cap):
+            lo = [-10.0 + c, -1.0, -10.0]
+            hi = [-8.0 + c, 1.0, -8.0]
+            tx0 = (lo[0] - ox) / dxm
+            tx1 = (hi[0] - ox) / dxm
+            tmin = jnp.minimum(tx0, tx1)
+            tmax = jnp.maximum(tx0, tx1)
+            ty0 = (lo[1] - oy) * dy
+            ty1 = (hi[1] - oy) * dy
+            tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+            tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+            tz0 = (lo[2] - oz) * dz
+            tz1 = (hi[2] - oz) * dz
+            tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+            return (tmin <= tmax) & (jnp.maximum(tmin, 0.0) < cap)
+
+        def scoped(t_ref):
+            def rep(i, carry):
+                acc, dxm = carry
+                dxm = dxm + 1e-6
+                t_ref[:] = jnp.full(shape, T_FAR, f32)
+                cap = t_ref[:]
+                if mode == "pre":
+                    conds = [jnp.any(boxtest(c, dxm, cap))
+                             for c in range(n_checks)]
+                else:
+                    mask = jnp.zeros(shape, jnp.int32)
+                    for c in range(n_checks):
+                        mask = mask | (boxtest(c, dxm, cap).astype(jnp.int32)
+                                       << c)
+                    packed = jnp.max(jnp.bitwise_or(
+                        mask, jnp.zeros(shape, jnp.int32)))  # placeholder
+                    # real OR-reduce:
+                    packed = jax.lax.reduce(
+                        mask, jnp.int32(0), jax.lax.bitwise_or, (0, 1))
+                    conds = [((packed >> c) & 1) > 0 for c in range(n_checks)]
+
+                for c in range(n_checks):
+                    def bodyfn(c=c):
+                        best_t = t_ref[:]
+                        for cx, cy, cz, r, *a in SPH[c * body_spheres:
+                                                     (c + 1) * body_spheres]:
+                            t, better = quadratic(ox, oy, oz, dxm, dy, dz,
+                                                  cx, cy, cz, r, best_t)
+                            best_t = jnp.where(better, t, best_t)
+                        t_ref[:] = best_t
+                    pl.when(conds[c])(bodyfn)
+                acc = acc + t_ref[:]
+                return acc, dxm
+
+            acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped, pltpu.VMEM(shape, jnp.float32))
+    return kernel
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["A", "B", "C", "C2", "C3", "D"]
+    print(f"backend={jax.default_backend()} S={S} REPS={REPS}", flush=True)
+    if "A" in which:
+        run_pairs("A  baked+11sel   ", kernel_a, False)
+    if "B" in which:
+        run_pairs("B  baked+idx+1hot", kernel_b, False)
+    if "C" in which:
+        run_pairs("C  sph-major dyn ", kernel_c, True)
+    if "C2" in which:
+        run_pairs("C2 ray-major dyn ", kernel_c2, True)
+    if "C3" in which:
+        run_pairs("C3 raydyn idx1hot", kernel_c3, True)
+    if "Q" in which:
+        run_pairs("Q  baked t-only  ", kernel_q, False)
+    if "Q2" in which:
+        run_pairs("Q2 baked no-sqrt ", kernel_q2, False)
+    if "Q4" in which:
+        run_pairs("Q4 4-chain ILP   ", make_kernel_qn(4), False)
+    if "Q8" in which:
+        run_pairs("Q8 8-chain ILP   ", make_kernel_qn(8), False)
+    if "W" in which:
+        run_pairs("W  25x16 when    ", make_kernel_when(25, 16, True), False)
+        run_pairs("W0 25x16 no-when ", make_kernel_when(25, 16, False), False)
+        run_pairs("W2 25x16 all-cull", make_kernel_when(25, 0, True), False)
+    if "W5" in which:
+        run_pairs("W5 25x16 pre-any ", make_kernel_when2(25, 16, "pre"), False)
+    if "W6" in which:
+        run_pairs("W6 25x16 or-pack ", make_kernel_when2(25, 16, "pack"), False)
+    if "D" in which:
+        matmul_bench()

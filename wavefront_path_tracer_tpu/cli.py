@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="baked (fused engine only) unrolls the scene into "
                         "the kernel as constants: fastest, per-scene compile")
     p.add_argument("--frame", type=int, default=0, help="RNG frame salt")
+    p.add_argument("--clusters", type=int, default=0,
+                   help="fused/baked: leaf cluster size for hierarchical "
+                        "consensus culling (0 = brute force)")
+    p.add_argument("--block-tiles", type=int, default=32,
+                   help="fused: NxN pixel blocks per ray tile for cull "
+                        "coherence (0 = linear pixel order)")
     # Camera (defaults = reference main.rs:23-32 book-one-final camera).
     p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
     p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
@@ -122,6 +128,11 @@ def main(argv=None) -> int:
     # The fused engine traces triangles only via the baked intersector;
     # upgrade automatically instead of erroring on the documented flow.
     intersector = args.intersector
+    if args.engine == "fused" and intersector == "bvh":
+        print("error: --engine fused has no bvh intersector (per-lane "
+              "gathers are pathological on TPU); use --intersector baked "
+              "or bruteforce", file=sys.stderr)
+        return 2
     if triangles is not None and args.engine == "fused" and intersector != "baked":
         intersector = "baked"
         if not args.quiet:
@@ -139,11 +150,16 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, samples_per_frame=args.spf,
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
+        baked_clusters=args.clusters, block_tiles=args.block_tiles,
     )
 
     renderer = Renderer(scene, cc, cfg, triangles=triangles)
+    ckpt_meta = {
+        "width": cfg.width, "height": cfg.height, "scene": args.scene,
+        "engine": cfg.engine, "frame": cfg.frame,
+    }
     if args.resume:
-        acc, samples, frame = load_checkpoint(args.resume)
+        acc, samples, frame = load_checkpoint(args.resume, expect_meta=ckpt_meta)
         renderer._accum = acc.reshape(-1, 3).astype(np.float32)
         renderer.progress.accumulated_samples = samples
         renderer.progress.frame = frame
@@ -170,7 +186,7 @@ def main(argv=None) -> int:
         if args.checkpoint:
             save_checkpoint(args.checkpoint, renderer._accum,
                             renderer.progress.accumulated_samples,
-                            renderer.progress.frame)
+                            renderer.progress.frame, meta=ckpt_meta)
         if not args.quiet:
             pct = 100.0 * renderer.progress.progress(cfg.samples_per_pixel)
             print(

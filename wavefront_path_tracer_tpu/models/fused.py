@@ -33,8 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from collections import OrderedDict
+
 from wavefront_path_tracer_tpu.ops.pallas_kernels import (
-    baked_cluster_intersect,
+    baked_culled_intersect,
     baked_intersect,
     fused_render_baked,
     fused_render_persistent,
@@ -47,8 +49,33 @@ _TILE_ROWS = 8
 
 # Scene-baked intersect closures, keyed by scene fingerprint: the same
 # function object must be reused so jit's static-arg cache (and the
-# persistent compile cache) hit.
-_BAKED_CACHE: dict = {}
+# persistent compile cache) hit.  Bounded LRU — each entry closes over a
+# whole unrolled scene, so unbounded growth would leak memory in long
+# interactive sessions that mutate scenes.
+_BAKED_CACHE_MAX = 8
+_BAKED_CACHE: OrderedDict = OrderedDict()
+
+
+@functools.lru_cache(maxsize=32)
+def _block_perm(width: int, height: int, block: int):
+    """Pixel permutation grouping pixels into block x block image tiles.
+
+    The fused kernel's cluster culling skips work only on whole-tile
+    consensus (8x128-lane vector registers), so lanes must hold
+    *spatially coherent* rays.  A linear pixel layout makes one tile a
+    1x1024-pixel strip (half an image row at 1080p); with block=32 a
+    tile is exactly one 32x32 image block, whose primary rays share a
+    tight frustum.  Returns (perm, inv) uint32 arrays: perm[i] = pixel
+    id of lane i, inv = argsort(perm) for unscattering radiance.
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    nbx = -(-width // block)
+    bidx = (ys // block) * nbx + (xs // block)
+    within = (ys % block) * block + (xs % block)
+    key = bidx.ravel().astype(np.int64) * (block * block) + within.ravel()
+    perm = np.argsort(key, kind="stable").astype(np.uint32)
+    inv = np.argsort(perm, kind="stable").astype(np.uint32)
+    return perm, inv
 
 
 def _plane(x, rows_total):
@@ -97,10 +124,14 @@ def _baked_fn(scene_arrays, clusters: int = 0):
             np.asarray(scene_arrays["mat_type"]),
         )
         if clusters > 0:
-            fn = baked_cluster_intersect(*args, cluster_size=clusters)
+            fn = baked_culled_intersect(*args, cluster_size=clusters)
         else:
             fn = baked_intersect(*args, triangles=triangles)
         _BAKED_CACHE[key] = fn
+        while len(_BAKED_CACHE) > _BAKED_CACHE_MAX:
+            _BAKED_CACHE.popitem(last=False)
+    else:
+        _BAKED_CACHE.move_to_end(key)
     return fn
 
 
@@ -116,6 +147,15 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples, baked_fn=_baked_fn(scene_arrays, config.baked_clusters),
+        )
+    if config.intersector != "bruteforce":
+        # Per-lane BVH gathers are pathological on TPU; refusing beats
+        # silently running the brute-force loop the user didn't ask for.
+        raise ValueError(
+            f"the fused engine has no '{config.intersector}' intersector: "
+            "use 'baked' (scene as kernel constants, with optional "
+            "baked_clusters culling) or 'bruteforce' (dynamic VMEM table); "
+            "'bvh' exists only on the wavefront/megakernel engines"
         )
     if "tri_v0" in scene_arrays:
         raise NotImplementedError(
@@ -189,7 +229,9 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
     )[:num_pixels]
-    return radiance, jnp.sum(rays)
+    # Aux plane: col 0 = per-tile live-ray counts; cols 1-3 are
+    # iteration/cull stats (see _persistent_impl), not ray counts.
+    return radiance, jnp.sum(rays[:, 0])
 
 
 @functools.partial(
@@ -198,6 +240,16 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
                          n_samples: int, baked_fn=None):
+    if config.block_tiles:
+        # Trace in 32x32-image-block lane order (see _block_perm), then
+        # unscatter radiance back to natural pixel order.
+        perm, inv = _block_perm(config.width, config.height,
+                                config.block_tiles)
+        rad, rays = render_pixels(
+            jnp.asarray(perm), scene_arrays, cam, view, inv_proj, config,
+            frame, sample_base, n_samples, baked_fn,
+        )
+        return rad[jnp.asarray(inv)], rays
     pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
     return render_pixels(
         pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,

@@ -41,7 +41,9 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     n = pixel_idx.shape[0]
     throughput = jnp.ones((n, 3), jnp.float32)
     radiance = jnp.zeros((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
+    # Chunk-padding lanes (pixel_idx beyond the image) start dead: they
+    # cost no trace work and are excluded from the Mrays/s numerator.
+    alive = pixel_idx < jnp.uint32(config.num_pixels)
 
     def cond(state):
         bounce, _, _, _, _, alive, _ = state

@@ -63,7 +63,23 @@ def _leaf_sphere_t(origin, direction, centers, radii, first, k):
     return jnp.where(disc >= 0.0, t, T_FAR), idx
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf_size",))
+def _flat_depth(left_first, prim_count) -> int:
+    """Max depth of a flat BVH (host-side; children are adjacent pairs)."""
+    import numpy as np
+
+    lf = np.asarray(left_first)
+    pc = np.asarray(prim_count)
+    depth = 0
+    stack = [(0, 1)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if pc[node] == 0:  # internal
+            stack.append((int(lf[node]), d + 1))
+            stack.append((int(lf[node]) + 1, d + 1))
+    return depth
+
+
 def intersect_bvh(
     origin, direction,
     centers, radii,
@@ -74,7 +90,35 @@ def intersect_bvh(
 
     Returns (t (N,), sphere_idx (N,) int32, hit (N,) bool) with indices
     into the *BVH-reordered* sphere tables.
+
+    When the node tables are concrete (not jit tracers), the tree depth
+    is validated against STACK_DEPTH here — a deeper externally built
+    tree would otherwise silently drop far-children on stack overflow.
+    Traced callers are covered by prepare_scene's build-time check
+    (renderer.py).
     """
+    if not isinstance(bvh_prim_count, jax.core.Tracer):
+        depth = _flat_depth(bvh_left_first, bvh_prim_count)
+        if depth > STACK_DEPTH:
+            raise ValueError(
+                f"BVH depth {depth} exceeds traversal STACK_DEPTH "
+                f"{STACK_DEPTH}; rebuild with a larger stack or a "
+                "shallower tree"
+            )
+    return _intersect_bvh_impl(
+        origin, direction, centers, radii,
+        bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
+        max_leaf_size=max_leaf_size,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf_size",))
+def _intersect_bvh_impl(
+    origin, direction,
+    centers, radii,
+    bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
+    max_leaf_size: int = 4,
+):
     n = origin.shape[0]
     inv_dir = 1.0 / direction
 

@@ -20,8 +20,9 @@ streaming ~2 orders below VPU throughput):
   stays ~100% with no atomics, no compaction, and no host syncs.  On
   hardware where a 128k-lane sort costs ~2 ms, that beats sort-based
   queue compaction outright.
-* Optional Morton-cluster culling (``baked_cluster_intersect``) skips
-  whole 32-sphere clusters under ``pl.when`` when no lane can improve.
+* Hierarchical consensus culling (``baked_culled_intersect``) skips
+  whole Morton clusters under ``pl.when`` when no live lane can improve
+  its nearest hit inside the cluster's box (slab-exit-capped).
 
 Rays per tile: ROWS x 128 (ROWS=8 default).  All per-ray fields are
 separate (ROWS, 128) f32/u32 planes (pure SoA).
@@ -30,6 +31,7 @@ separate (ROWS, 128) f32/u32 planes (pure SoA).
 from __future__ import annotations
 
 import functools
+import inspect
 
 import jax
 import jax.numpy as jnp
@@ -438,140 +440,234 @@ def _morton_order(centers):
     return np.argsort(code, kind="stable")
 
 
-def baked_cluster_intersect(centers, radii, albedo, fuzz, refract_idx,
-                            mat_type, cluster_size: int = 32):
-    """Cluster-culled variant of :func:`baked_intersect` (spheres only).
+def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
+                           mat_type, cluster_size: int = 16,
+                           super_factor: int = 8,
+                           global_radius_factor: float = 10.0):
+    """Hierarchically culled variant of :func:`baked_intersect`.
 
-    Spheres are Morton-sorted and grouped into fixed-size clusters whose
-    AABBs are baked as constants.  Each cluster's unrolled sphere tests
-    run under ``pl.when(any(slab_entry < best_t))``: when no lane in the
-    tile can possibly improve its nearest hit inside the cluster's box
-    (either the box is behind/missed or already farther than every
-    lane's current hit), the whole cluster is skipped.  Winner state
-    lives in VMEM scratch so the conditional bodies can mutate it.
+    The TPU-native analog of the reference's BVH traversal
+    (``extend.wgsl:80-140``): instead of per-lane stack traversal (whose
+    gathers are pathological on this device), the sphere set is culled
+    with *whole-tile consensus* skips at two granularities.  The design
+    is driven by three measured facts: the VPU is issue-rate-bound (~1
+    vector op/cycle), so saved sphere tests are saved wall time; masked
+    per-lane work saves nothing (SIMD); and ``pl.when`` costs one scalar
+    branch per cluster, so the skip test must fire often to pay.
 
-    Cull correctness: the AABB entry distance lower-bounds every
-    contained sphere's hit t, and rays starting inside the box get entry
-    0 — the skip test is conservative, so results are identical to the
-    unculled kernel.
+    What makes the skips fire on real scenes:
+
+    * **Giant spheres are excluded from the hierarchy** and tested
+      unconditionally first (radius > ``global_radius_factor`` x median
+      — e.g. the book scene's r=1000 ground).  Their AABBs would
+      otherwise inflate every ancestor box to "everything".
+    * **Slab exit cap**: all clustered spheres live in a tight world
+      AABB (the book scene's sphere field is a thin slab).  A ray's exit
+      distance ``t_exit`` from that box upper-bounds every in-hierarchy
+      hit, so a sky-bound ray — whose ``best_t`` stays huge and would
+      veto every consensus — stops blocking skips the moment it leaves
+      the slab: clusters need ``enter < min(best_t, t_exit)``.
+    * **Dead lanes abstain**: the persistent kernel passes its ``alive``
+      mask; exhausted lanes never veto a skip, so the tile tail gets
+      faster as lanes finish.
+    * Spheres are Morton-ordered so cluster AABBs are tight, and
+      clusters are grouped ``super_factor``-at-a-time under an outer
+      consensus skip (two-level hierarchy) so large scenes cull in
+      O(#superclusters) slab tests.
+
+    Returns the same 11-tuple interface as the other intersectors.
+    Cull correctness: a cluster is skipped only when every live lane's
+    current nearest hit provably cannot be improved inside the cluster's
+    box (AABB entry distance lower-bounds any contained hit; rays
+    starting inside a box get entry 0; in-slab hits are bounded by the
+    slab exit), so results equal the brute-force kernel up to
+    sphere-iteration order.
     """
     import numpy as np
 
-    order = _morton_order(np.asarray(centers))
-    centers = np.asarray(centers)[order]
-    radii = np.asarray(radii)[order]
-    albedo = np.asarray(albedo)[order]
-    fuzz = np.asarray(fuzz)[order]
-    refract_idx = np.asarray(refract_idx)[order]
-    mat_type = np.asarray(mat_type)[order]
+    centers = np.asarray(centers, np.float32)
+    radii = np.asarray(radii, np.float32)
+    albedo = np.asarray(albedo, np.float32)
+    fuzz = np.asarray(fuzz, np.float32)
+    refract_idx = np.asarray(refract_idx, np.float32)
+    mat_type = np.asarray(mat_type, np.float32)
 
-    n = centers.shape[0]
-    clusters = []
-    for start in range(0, n, cluster_size):
-        end = min(start + cluster_size, n)
-        lo = (centers[start:end] - radii[start:end, None]).min(axis=0)
-        hi = (centers[start:end] + radii[start:end, None]).max(axis=0)
-        sph = [
+    def rows(idx):
+        return [
             (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
              float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
              float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
              float(mat_type[i]))
-            for i in range(start, end)
+            for i in idx
         ]
-        clusters.append((lo.tolist(), hi.tolist(), sph))
 
-    def intersect(ox, oy, oz, dx, dy, dz):
+    med_r = float(np.median(radii))
+    is_global = radii > global_radius_factor * med_r
+    global_rows = rows(np.nonzero(is_global)[0])
+    rest = np.nonzero(~is_global)[0]
+    if rest.size <= 2 * cluster_size:
+        # Tiny scene: hierarchy can't pay — everything brute force.
+        global_rows = rows(np.arange(centers.shape[0]))
+        rest = np.zeros((0,), np.int64)
+
+    order = rest[_morton_order(centers[rest])] if rest.size else rest
+    clusters = []
+    for start in range(0, order.size, cluster_size):
+        idx = order[start:start + cluster_size]
+        lo = (centers[idx] - radii[idx, None]).min(axis=0)
+        hi = (centers[idx] + radii[idx, None]).max(axis=0)
+        clusters.append((lo, hi, rows(idx)))
+    clusters_flat = [(lo.tolist(), hi.tolist(), sph)
+                     for lo, hi, sph in clusters]
+    supers = []
+    for start in range(0, len(clusters), super_factor):
+        grp = clusters[start:start + super_factor]
+        lo = np.min([c[0] for c in grp], axis=0)
+        hi = np.max([c[1] for c in grp], axis=0)
+        supers.append((lo.tolist(), hi.tolist(),
+                       [(c[0].tolist(), c[1].tolist(), c[2]) for c in grp]))
+    if order.size:
+        slab_lo = (centers[order] - radii[order, None]).min(axis=0).tolist()
+        slab_hi = (centers[order] + radii[order, None]).max(axis=0).tolist()
+    else:
+        slab_lo = slab_hi = [0.0, 0.0, 0.0]
+
+    def intersect(ox, oy, oz, dx, dy, dz, alive=None):
         f32 = jnp.float32
         shape = ox.shape
         a_q = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a_q
-        # Slab reciprocals, once per bounce (IEEE inf handles axis-parallel).
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
 
-        def body(t_ref, cx_ref, cy_ref, cz_ref, ir_ref, ar_ref, ag_ref,
-                 ab_ref, fz_ref, io_ref, mt_ref):
-            t_ref[:] = jnp.full(shape, T_FAR, f32)
-            cx_ref[:] = jnp.zeros(shape, f32)
-            cy_ref[:] = jnp.zeros(shape, f32)
-            cz_ref[:] = jnp.zeros(shape, f32)
-            ir_ref[:] = jnp.ones(shape, f32)
-            ar_ref[:] = jnp.zeros(shape, f32)
-            ag_ref[:] = jnp.zeros(shape, f32)
-            ab_ref[:] = jnp.zeros(shape, f32)
-            fz_ref[:] = jnp.zeros(shape, f32)
-            io_ref[:] = jnp.ones(shape, f32)
-            mt_ref[:] = jnp.zeros(shape, f32)
+        def sphere_tests(sph, carry):
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+             b_fz, b_io, b_mt) = carry
+            for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b_q = dx * ocx + dy * ocy + dz * ocz
+                c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b_q * b_q - a_q * c_q
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b_q - sq) * inv_a
+                t2 = (-b_q + sq) * inv_a
+                t = jnp.where(t1 > T_MIN, t1,
+                              jnp.where(t2 > T_MIN, t2, T_FAR))
+                t = jnp.where(disc >= 0.0, t, T_FAR)
+                better = t < best_t
+                best_t = jnp.where(better, t, best_t)
+                b_cx = jnp.where(better, cx, b_cx)
+                b_cy = jnp.where(better, cy, b_cy)
+                b_cz = jnp.where(better, cz, b_cz)
+                b_ir = jnp.where(better, 1.0 / r, b_ir)
+                b_ar = jnp.where(better, ar, b_ar)
+                b_ag = jnp.where(better, ag, b_ag)
+                b_ab = jnp.where(better, ab, b_ab)
+                b_fz = jnp.where(better, fz, b_fz)
+                b_io = jnp.where(better, ior, b_io)
+                b_mt = jnp.where(better, mt, b_mt)
+            return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                    b_fz, b_io, b_mt)
 
-            for lo, hi, sph in clusters:
-                tx0 = (lo[0] - ox) * idx_
-                tx1 = (hi[0] - ox) * idx_
-                tmin = jnp.minimum(tx0, tx1)
-                tmax = jnp.maximum(tx0, tx1)
-                ty0 = (lo[1] - oy) * idy_
-                ty1 = (hi[1] - oy) * idy_
-                tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
-                tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
-                tz0 = (lo[2] - oz) * idz_
-                tz1 = (hi[2] - oz) * idz_
-                tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
-                tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
-                enter = jnp.maximum(tmin, 0.0)
-                could_improve = (tmin <= tmax) & (tmax > T_MIN) & (enter < t_ref[:])
+        def box_range(lo, hi):
+            """(entry, exit) of the ray against an AABB (slab method)."""
+            tx0 = (lo[0] - ox) * idx_
+            tx1 = (hi[0] - ox) * idx_
+            tmin = jnp.minimum(tx0, tx1)
+            tmax = jnp.maximum(tx0, tx1)
+            ty0 = (lo[1] - oy) * idy_
+            ty1 = (hi[1] - oy) * idy_
+            tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+            tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+            tz0 = (lo[2] - oz) * idz_
+            tz1 = (hi[2] - oz) * idz_
+            tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+            return tmin, tmax
 
-                @pl.when(jnp.any(could_improve))
-                def _(sph=sph):
-                    best_t = t_ref[:]
-                    b_cx, b_cy, b_cz = cx_ref[:], cy_ref[:], cz_ref[:]
-                    b_ir = ir_ref[:]
-                    b_ar, b_ag, b_ab = ar_ref[:], ag_ref[:], ab_ref[:]
-                    b_fz, b_io, b_mt = fz_ref[:], io_ref[:], mt_ref[:]
-                    for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
-                        ocx = ox - cx
-                        ocy = oy - cy
-                        ocz = oz - cz
-                        b_q = dx * ocx + dy * ocy + dz * ocz
-                        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                        disc = b_q * b_q - a_q * c_q
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        t1 = (-b_q - sq) * inv_a
-                        t2 = (-b_q + sq) * inv_a
-                        t = jnp.where(t1 > T_MIN, t1,
-                                      jnp.where(t2 > T_MIN, t2, T_FAR))
-                        t = jnp.where(disc >= 0.0, t, T_FAR)
-                        better = t < best_t
-                        best_t = jnp.where(better, t, best_t)
-                        b_cx = jnp.where(better, cx, b_cx)
-                        b_cy = jnp.where(better, cy, b_cy)
-                        b_cz = jnp.where(better, cz, b_cz)
-                        b_ir = jnp.where(better, 1.0 / r, b_ir)
-                        b_ar = jnp.where(better, ar, b_ar)
-                        b_ag = jnp.where(better, ag, b_ag)
-                        b_ab = jnp.where(better, ab, b_ab)
-                        b_fz = jnp.where(better, fz, b_fz)
-                        b_io = jnp.where(better, ior, b_io)
-                        b_mt = jnp.where(better, mt, b_mt)
-                    t_ref[:] = best_t
-                    cx_ref[:] = b_cx
-                    cy_ref[:] = b_cy
-                    cz_ref[:] = b_cz
-                    ir_ref[:] = b_ir
-                    ar_ref[:] = b_ar
-                    ag_ref[:] = b_ag
-                    ab_ref[:] = b_ab
-                    fz_ref[:] = b_fz
-                    io_ref[:] = b_io
-                    mt_ref[:] = b_mt
+        init = (
+            jnp.full(shape, T_FAR, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.ones(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.ones(shape, f32), jnp.zeros(shape, f32),
+        )
+        carry = sphere_tests(global_rows, init)
+        if not supers:
+            return carry + (jnp.zeros(shape, f32), jnp.zeros(shape, f32))
 
-            return (t_ref[:], cx_ref[:], cy_ref[:], cz_ref[:], ir_ref[:],
-                    ar_ref[:], ag_ref[:], ab_ref[:], fz_ref[:],
-                    io_ref[:], mt_ref[:])
+        # Per-lane cap on any in-hierarchy hit: the slab exit distance.
+        s_min, s_max = box_range(slab_lo, slab_hi)
+        t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
+                           jnp.float32(-1.0))
+        if alive is not None:
+            t_exit = jnp.where(alive, t_exit, -1.0)
+
+        def cluster_cond(box_lo, box_hi, cap):
+            c_min, c_max = box_range(box_lo, box_hi)
+            return ((c_min <= c_max) & (c_max > T_MIN)
+                    & (jnp.maximum(c_min, 0.0) < cap))
+
+        # Two-level only when single-level would pay too many box tests
+        # per iteration; below that, one flat batch of conditions.
+        two_level = len(clusters) > 48
+
+        def body(*refs):
+            for ref, val in zip(refs, carry):
+                ref[:] = val
+            t_ref = refs[0]
+            sup_ref, clu_ref = refs[11], refs[12]
+            sup_ref[:] = jnp.zeros(shape, f32)
+            clu_ref[:] = jnp.zeros(shape, f32)
+
+            def run_clusters(grp, cap):
+                # Batch ALL consensus reduces before any branch: an
+                # interleaved any()+pl.when costs ~270 ns each (vector->
+                # scalar pipeline stall, measured ~12 sphere-tests'
+                # worth); batched, the reduces pipeline and the scalar
+                # branches are nearly free.  Conditions therefore use the
+                # iteration-entry best_t (no intra-batch tightening) —
+                # a strictly conservative, still-correct cull.
+                conds = [jnp.any(cluster_cond(c_lo, c_hi, cap))
+                         for c_lo, c_hi, _ in grp]
+                for cond, (c_lo, c_hi, sph) in zip(conds, grp):
+                    @pl.when(cond)
+                    def _(sph=sph):
+                        clu_ref[:] = clu_ref[:] + 1.0
+                        vals = sphere_tests(
+                            sph, tuple(r[:] for r in refs[:11]))
+                        for ref, val in zip(refs, vals):
+                            ref[:] = val
+
+            if two_level:
+                cap0 = jnp.minimum(t_ref[:], t_exit)
+                sup_conds = [
+                    jnp.any(cluster_cond(s_lo, s_hi, cap0))
+                    for s_lo, s_hi, _ in supers
+                ]
+                for cond, (s_lo, s_hi, grp) in zip(sup_conds, supers):
+                    @pl.when(cond)
+                    def _(grp=grp):
+                        sup_ref[:] = sup_ref[:] + 1.0
+                        # Refresh the cap: earlier supers' hits tighten it.
+                        run_clusters(grp, jnp.minimum(t_ref[:], t_exit))
+            else:
+                cap0 = jnp.minimum(t_ref[:], t_exit)
+                run_clusters(clusters_flat, cap0)
+
+            return tuple(r[:] for r in refs)
 
         return pl.run_scoped(
-            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(11)]
+            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(13)]
         )
 
+    intersect.returns_cull_stats = True
+    intersect.n_supers = len(supers)
+    intersect.n_clusters = len(clusters)
     return intersect
 
 
@@ -630,6 +726,7 @@ def _persistent_impl(
     ys = ys_ref[:]
     valid = valid_ref[:] > 0
     shape = pix.shape
+    has_stats = getattr(intersect_fn, "returns_cull_stats", False)
 
     zeros = jnp.zeros(shape, jnp.float32)
     u0 = jnp.zeros(shape, jnp.uint32)
@@ -643,6 +740,8 @@ def _persistent_impl(
         zeros,                        # alive (f32; all start dead -> raygen)
         zeros, zeros, zeros,          # radiance accum
         jnp.float32(0.0),             # live-ray count
+        jnp.float32(0.0),             # bounce-loop iterations
+        zeros, zeros,                 # cull stats: supers/clusters entered
     )
 
     def cond(c):
@@ -652,7 +751,7 @@ def _persistent_impl(
 
     def body(c):
         (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
-         alive_f, rr_acc, rg_acc, rb_acc, nrays) = c
+         alive_f, rr_acc, rg_acc, rb_acc, nrays, niter, sup_acc, clu_acc) = c
         alive = alive_f > 0
 
         # Restart finished lanes on their next sample.
@@ -673,10 +772,21 @@ def _persistent_impl(
         alive = alive | start
         nrays = nrays + jnp.sum(jnp.where(alive, 1.0, 0.0))
 
-        res = intersect_fn(ox, oy, oz, dx, dy, dz)
+        # Culling intersectors take the alive mask so dead lanes don't
+        # veto whole-tile cluster skips (and the tile tail speeds up).
+        if "alive" in inspect.signature(intersect_fn).parameters:
+            res = intersect_fn(ox, oy, oz, dx, dy, dz, alive=alive)
+        else:
+            res = intersect_fn(ox, oy, oz, dx, dy, dz)
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
          b_fuzz, b_ior, b_mt) = res[:11]
-        tri_fields = res[11:] if len(res) > 11 else (None, None, None, None)
+        if has_stats:
+            sup_acc = sup_acc + res[11]
+            clu_acc = clu_acc + res[12]
+            tri_fields = (None, None, None, None)
+        else:
+            tri_fields = res[11:] if len(res) > 11 else (None, None, None, None)
+        niter = niter + 1.0
 
         hit = (best_t < T_FAR) & alive
         missed = alive & ~hit
@@ -706,16 +816,23 @@ def _persistent_impl(
         s_lane = jnp.where(died, s_lane + _u32(1), s_lane)
         return (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
                 jnp.where(still_alive, 1.0, 0.0),
-                rr_acc, rg_acc, rb_acc, nrays)
+                rr_acc, rg_acc, rb_acc, nrays, niter, sup_acc, clu_acc)
 
     final = jax.lax.while_loop(cond, body, state0)
     rad_r_o[:] = final[12]
     rad_g_o[:] = final[13]
     rad_b_o[:] = final[14]
+    # Aux stats plane, row 0 of the tile: col 0 = live rays traced,
+    # col 1 = bounce-loop iterations, col 2/3 = superclusters/clusters
+    # entered (consensus-cull observability; zeros without culling).
     row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    first = (row_id == 0) & (col_id == 0)
-    rays_o[:] = jnp.where(first, final[15], 0.0)
+    stats = jnp.where(col_id == 0, final[15],
+                      jnp.where(col_id == 1, final[16],
+                                jnp.where(col_id == 2, final[17],
+                                          jnp.where(col_id == 3, final[18],
+                                                    0.0))))
+    rays_o[:] = jnp.where(row_id == 0, stats, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -731,7 +848,8 @@ def fused_render_persistent(
     """All samples x all bounces, persistent lanes, one Pallas call.
 
     Returns (rad_r, rad_g, rad_b, rays_aux), each (rows_total, 128);
-    rays_aux holds per-tile live-ray counts at [8k, 0].
+    rays_aux row 0 of each tile holds [rays, iterations, supers_entered,
+    clusters_entered] in cols 0-3 (see _persistent_impl).
     """
     total_rows = pix.shape[0]
     assert total_rows % rows == 0

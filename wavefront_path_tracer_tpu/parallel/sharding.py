@@ -123,7 +123,17 @@ def render_samples_sharded(
         rad = jax.lax.psum(rad, axis_name="samples")
         return rad[None]
 
-    pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32).reshape(n_tiles, -1)
+    if config.engine == "fused" and config.block_tiles:
+        # Hand every shard block-coherent lanes (see fused._block_perm);
+        # unscatter to natural pixel order after the gather.
+        from wavefront_path_tracer_tpu.models.fused import _block_perm
+
+        perm, inv = _block_perm(config.width, config.height,
+                                config.block_tiles)
+        pixel_idx = jnp.asarray(perm).reshape(n_tiles, -1)
+    else:
+        inv = None
+        pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32).reshape(n_tiles, -1)
 
     sharded = shard_map(
         tile_fn,
@@ -137,7 +147,10 @@ def render_samples_sharded(
         check_vma=False,
     )
     rad = sharded(pixel_idx, scene_arrays, view, inv_proj, frame, sample_base)
-    return rad.reshape(config.num_pixels, 3)
+    rad = rad.reshape(config.num_pixels, 3)
+    if inv is not None:
+        rad = rad[jnp.asarray(inv)]
+    return rad
 
 
 @functools.partial(

@@ -35,9 +35,13 @@ class RenderConfig:
     # Wavefront engine: partition the hit queue by material and shade
     # with per-material kernels (the reference's TODO, README.md:19).
     material_split: bool = False
-    # Fused/baked engine: cluster size for Morton-cluster culling
-    # (0 = no culling; spheres only, ignored when triangles are present).
+    # Fused/baked engine: leaf cluster size for hierarchical consensus
+    # culling (0 = no culling; spheres only, ignored when triangles are
+    # present).
     baked_clusters: int = 0
+    # Fused engine: group pixels into NxN image blocks per ray tile so
+    # cluster culling sees spatially coherent lanes (0 = linear order).
+    block_tiles: int = 32
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination instead of the reference's lossy `misses < 128`

@@ -79,12 +79,29 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
-def save_checkpoint(path: str, accumulated: np.ndarray, samples: int, frame: int = 0) -> None:
+def save_checkpoint(path: str, accumulated: np.ndarray, samples: int,
+                    frame: int = 0, meta: dict | None = None) -> None:
     """Checkpoint progressive accumulation (absent in the reference —
-    its accumulator dies on exit, SURVEY.md §5)."""
-    np.savez(path, accumulated=accumulated, samples=samples, frame=frame)
+    its accumulator dies on exit, SURVEY.md §5).
+
+    ``meta`` (width/height/scene/engine/...) is stored alongside and
+    validated on resume so a checkpoint from a different render can't be
+    silently blended into this one.
+    """
+    meta_items = {f"meta_{k}": np.asarray(str(v)) for k, v in (meta or {}).items()}
+    np.savez(path, accumulated=accumulated, samples=samples, frame=frame,
+             **meta_items)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, expect_meta: dict | None = None):
+    """Load a checkpoint; raises ValueError on metadata mismatch."""
     z = np.load(path)
+    if expect_meta:
+        for k, v in expect_meta.items():
+            key = f"meta_{k}"
+            if key in z.files and str(z[key]) != str(v):
+                raise ValueError(
+                    f"checkpoint {path} was written with {k}={z[key]} "
+                    f"but this render uses {k}={v}; refusing to blend"
+                )
     return z["accumulated"], int(z["samples"]), int(z["frame"])
