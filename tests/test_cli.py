@@ -53,3 +53,27 @@ def test_cli_budget_already_met(tmp_path):
     assert main(_args(tmp_path, "--checkpoint", ck)) == 0
     # Same spp budget, resuming from a finished checkpoint -> exit 1.
     assert main(_args(tmp_path, "--resume", ck)) == 1
+
+
+def test_cli_preview_written_per_frame(tmp_path):
+    prev = tmp_path / "prev.png"
+    assert main(_args(tmp_path, "--preview", str(prev))) == 0
+    img = read_png(str(prev))
+    assert img.shape == (18, 32, 3)
+    assert (tmp_path / "prev.html").exists()  # auto-refresh viewer
+
+
+def test_cli_resume_rejects_mismatched_checkpoint(tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    assert main(_args(tmp_path, "--checkpoint", ck)) == 0
+    argv = _args(tmp_path, "--resume", ck)
+    argv[argv.index("--width") + 1] = "64"  # different resolution
+    argv[argv.index("--height") + 1] = "36"
+    with pytest.raises(ValueError, match="refusing to blend"):
+        main(argv)
+
+
+def test_cli_fused_bvh_rejected(tmp_path):
+    argv = _args(tmp_path, "--intersector", "bvh")
+    argv[argv.index("--engine") + 1] = "fused"
+    assert main(argv) == 2

@@ -104,3 +104,27 @@ def test_cli_parser_defaults_match_reference():
     assert args.spp == 10 and args.spf == 1 and args.max_bounces == 50
     assert args.look_from == [13.0, 2.0, 3.0]
     assert args.vfov == 20.0 and args.defocus_angle == 0.6
+
+
+def test_ansi_preview_shape():
+    from wavefront_path_tracer_tpu.utils.preview import ansi_preview
+
+    img = np.linspace(0, 1, 24 * 32 * 3, dtype=np.float32).reshape(24, 32, 3)
+    out = ansi_preview(img, max_cols=16, max_rows=6)
+    lines = out.splitlines()
+    assert len(lines) == 6
+    assert all(line.count("▀") == 16 for line in lines)
+    assert out.endswith("\x1b[0m")
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    from wavefront_path_tracer_tpu.utils.image import (
+        load_checkpoint, save_checkpoint)
+
+    acc = np.ones((4, 3), np.float32)
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, acc, 7, frame=2, meta={"width": 4, "scene": "x"})
+    a, s, f = load_checkpoint(path, expect_meta={"width": 4, "scene": "x"})
+    assert s == 7 and f == 2
+    with pytest.raises(ValueError):
+        load_checkpoint(path, expect_meta={"width": 8})

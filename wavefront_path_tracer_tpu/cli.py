@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defocus-angle", type=float, default=0.6)
     p.add_argument("--focus-distance", type=float, default=10.0)
     p.add_argument("--out", default="render.png")
+    p.add_argument("--preview", default=None, metavar="PNG",
+                   help="rewrite this PNG after every frame batch and "
+                        "emit an auto-refresh HTML viewer next to it "
+                        "(the reference's per-frame display pass, "
+                        "display.rs:112-150, headless)")
+    p.add_argument("--preview-term", action="store_true",
+                   help="draw the converging image in the terminal "
+                        "(24-bit ANSI half-blocks) after every frame")
     p.add_argument("--checkpoint", default=None,
                    help="npz accumulation checkpoint to write each frame")
     p.add_argument("--resume", default=None,
@@ -71,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--stage-timing", action="store_true",
+                   help="per-kernel observability like the reference's "
+                        "per-sample us report (path_tracer.rs:364): real "
+                        "generate/extend/shade/miss/compact wall-us on the "
+                        "wavefront engine (host-stepped), in-kernel "
+                        "iteration/cull counters on the fused engine")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first frame "
                         "into this directory (the deep-dive analog of the "
@@ -153,7 +167,18 @@ def main(argv=None) -> int:
         baked_clusters=args.clusters, block_tiles=args.block_tiles,
     )
 
-    renderer = Renderer(scene, cc, cfg, triangles=triangles)
+    stage_timer = None
+    if args.stage_timing:
+        from wavefront_path_tracer_tpu.utils.profiling import KernelTimer
+
+        stage_timer = KernelTimer()
+        if args.engine == "megakernel":
+            print("note: --stage-timing reports on the wavefront and "
+                  "fused engines only", file=sys.stderr)
+            stage_timer = None
+
+    renderer = Renderer(scene, cc, cfg, triangles=triangles,
+                        stage_timer=stage_timer)
     ckpt_meta = {
         "width": cfg.width, "height": cfg.height, "scene": args.scene,
         "engine": cfg.engine, "frame": cfg.frame,
@@ -165,6 +190,13 @@ def main(argv=None) -> int:
         renderer.progress.frame = frame
         if not args.quiet:
             print(f"resumed at {samples} spp", file=sys.stderr)
+
+    if args.preview:
+        from wavefront_path_tracer_tpu.utils.preview import write_preview_html
+
+        html = write_preview_html(args.preview)
+        if not args.quiet:
+            print(f"live preview: open {html}", file=sys.stderr)
 
     fps = FramesPerSecond()
     t_start = time.perf_counter()
@@ -183,6 +215,16 @@ def main(argv=None) -> int:
             break
         result = r
         fps.update()
+        if args.preview:
+            write_png(args.preview, r.image)
+        if args.preview_term:
+            from wavefront_path_tracer_tpu.utils.preview import term_preview_frame
+
+            pct = 100.0 * renderer.progress.progress(cfg.samples_per_pixel)
+            term_preview_frame(
+                r.image,
+                f"[{pct:5.1f}%] {r.samples}/{cfg.samples_per_pixel} spp  "
+                f"{r.mrays_per_s:.1f} Mrays/s")
         if args.checkpoint:
             save_checkpoint(args.checkpoint, renderer._accum,
                             renderer.progress.accumulated_samples,
@@ -194,6 +236,19 @@ def main(argv=None) -> int:
                 f"{r.mrays_per_s:8.1f} Mrays/s  {fps.get_avg_fps():5.1f} fps",
                 file=sys.stderr,
             )
+            if stage_timer is not None and stage_timer.averages_us():
+                print(f"         kernels: {stage_timer.report()}",
+                      file=sys.stderr)
+            if r.kernel_stats:
+                ks = r.kernel_stats
+                iters = max(1.0, ks["iterations"])
+                line = (f"         fused: {ks['iterations']:.0f} bounce-iters"
+                        f"  {r.rays_traced / (1024.0 * iters):6.1%} lane-occupancy")
+                if ks["clusters_entered"]:
+                    line += (f"  {ks['clusters_entered'] / iters:.1f} "
+                             f"clusters/iter  {ks['supers_entered'] / iters:.1f}"
+                             " supers/iter")
+                print(line, file=sys.stderr)
 
     if result is None:
         print("nothing to render (SPP budget already met)", file=sys.stderr)

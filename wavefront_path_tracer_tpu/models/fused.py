@@ -168,13 +168,30 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     )
 
 
+def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
+                              config: RenderConfig, frame, sample_base,
+                              n_samples: int):
+    """Like render_samples but also returns the kernel's real per-frame
+    counters {iterations, supers_entered, clusters_entered} summed over
+    tiles — the fused analog of the reference's per-kernel observability
+    (its five kernels are one Pallas call here, so stage wall-µs don't
+    exist; these are the measured quantities that do)."""
+    baked_fn = (_baked_fn(scene_arrays, config.baked_clusters)
+                if config.intersector == "baked" else None)
+    return _render_samples_impl(
+        scene_arrays, cam, view, inv_proj, config, frame, sample_base,
+        n_samples, baked_fn=baked_fn, with_stats=True,
+    )
+
+
 def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
                   config: RenderConfig, frame, sample_base,
-                  n_samples: int, baked_fn=None):
+                  n_samples: int, baked_fn=None, with_stats: bool = False):
     """Trace any pixel-index subset (a shard tile or the whole image).
 
     Not jitted itself — callers jit (render_samples) or trace it inside
-    shard_map (parallel/sharding.py).  Returns ((N, 3), rays_traced).
+    shard_map (parallel/sharding.py).  Returns ((N, 3), rays_traced)
+    (+ a stats dict when ``with_stats``).
     """
     interpret = jax.default_backend() == "cpu"
     tile_rows = config.tile_rows
@@ -231,27 +248,36 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     )[:num_pixels]
     # Aux plane: col 0 = per-tile live-ray counts; cols 1-3 are
     # iteration/cull stats (see _persistent_impl), not ray counts.
+    if with_stats:
+        stats = {
+            "iterations": jnp.sum(rays[:, 1]),
+            "supers_entered": jnp.sum(rays[:, 2]),
+            "clusters_entered": jnp.sum(rays[:, 3]),
+        }
+        return radiance, jnp.sum(rays[:, 0]), stats
     return radiance, jnp.sum(rays[:, 0])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "config", "n_samples", "baked_fn")
+    jax.jit,
+    static_argnames=("cam", "config", "n_samples", "baked_fn", "with_stats"),
 )
 def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
-                         n_samples: int, baked_fn=None):
+                         n_samples: int, baked_fn=None,
+                         with_stats: bool = False):
     if config.block_tiles:
         # Trace in 32x32-image-block lane order (see _block_perm), then
         # unscatter radiance back to natural pixel order.
         perm, inv = _block_perm(config.width, config.height,
                                 config.block_tiles)
-        rad, rays = render_pixels(
+        out = render_pixels(
             jnp.asarray(perm), scene_arrays, cam, view, inv_proj, config,
-            frame, sample_base, n_samples, baked_fn,
+            frame, sample_base, n_samples, baked_fn, with_stats=with_stats,
         )
-        return rad[jnp.asarray(inv)], rays
+        return (out[0][jnp.asarray(inv)],) + out[1:]
     pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
     return render_pixels(
         pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
-        sample_base, n_samples, baked_fn,
+        sample_base, n_samples, baked_fn, with_stats=with_stats,
     )

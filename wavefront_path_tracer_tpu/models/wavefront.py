@@ -238,3 +238,108 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     acc = jnp.zeros((num_pixels, 3), jnp.float32)
     acc, rays = jax.lax.fori_loop(0, n_samples, one_sample, (acc, jnp.float32(0)))
     return acc, rays
+
+
+# --- host-stepped diagnostic path with per-kernel timing -------------
+#
+# The production wavefront loop above runs entirely on device (zero host
+# syncs).  This variant deliberately reproduces the reference's
+# orchestration shape — one dispatch per kernel with blocking counter
+# readbacks between bounces (path_tracer.rs:279-371) — so each of the
+# K1-K4 stages can be wall-clock timed like the reference's per-kernel
+# GPU timestamps (path_tracer.rs:356-365, query_gpu.rs).  ~2 host
+# round-trips per bounce: diagnostic use only.
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cam"))
+def _k1_generate(pixel_idx, width, height, frame, sample, cam, view, inv_proj):
+    return generate_rays(pixel_idx, width, height, frame, sample, cam,
+                         view, inv_proj)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _k2_extend(q_origin, q_dir, count, scene_arrays, config):
+    return _extend(q_origin, q_dir, count, scene_arrays, config)
+
+
+@jax.jit
+def _k4_miss(radiance, q_slot, q_throughput, q_dir, missed):
+    sky = q_throughput * sky_color(q_dir)
+    return radiance.at[q_slot].add(
+        jnp.where(missed[:, None], sky, 0.0), mode="drop")
+
+
+@jax.jit
+def _k3_shade(q_pixel, frame, sample, bounce, q_origin, q_dir,
+              q_throughput, t, hit, normal, albedo, fuzz, refract, mat):
+    p = q_origin + t[:, None] * q_dir
+    state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
+    new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract)
+    q_throughput = jnp.where(hit[:, None], q_throughput * albedo,
+                             q_throughput)
+    q_origin = jnp.where(hit[:, None], p, q_origin)
+    q_dir = jnp.where(hit[:, None], new_dir, q_dir)
+    return q_origin, q_dir, q_throughput
+
+
+@jax.jit
+def _compact(hit, q_pixel, q_slot, q_origin, q_dir, q_throughput):
+    order, new_count = compaction_order(hit)
+    return (q_pixel[order], q_slot[order], q_origin[order], q_dir[order],
+            q_throughput[order], new_count)
+
+
+def render_samples_staged(scene_arrays, cam, view, inv_proj,
+                          config: RenderConfig, frame, sample_base,
+                          n_samples: int, timer):
+    """render_samples-compatible host-stepped loop; per-stage wall times
+    accumulate into ``timer`` (a utils.profiling.KernelTimer) under the
+    reference's kernel names: generate / extend / shade / miss (+
+    compact, which the reference folds into its atomics)."""
+    n = config.num_pixels
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    rays_total = 0
+    frame = jnp.uint32(frame)
+
+    for s in range(n_samples):
+        sample = jnp.uint32(sample_base) + jnp.uint32(s)
+        with timer.time("generate"):
+            origin, direction = _k1_generate(
+                pixel_idx, config.width, config.height, frame, sample,
+                cam, view, inv_proj)
+            jax.block_until_ready(direction)
+        q_pixel = pixel_idx
+        q_slot = jnp.arange(n, dtype=jnp.int32)
+        q_origin, q_dir = origin, direction
+        q_throughput = jnp.ones((n, 3), jnp.float32)
+        count = n
+        bounce = 0
+        while count > 0 and bounce < config.max_bounces:
+            lane = jnp.arange(q_origin.shape[0], dtype=jnp.int32)
+            live = lane < count
+            rays_total += count
+            with timer.time("extend"):
+                t, hit, normal, albedo, fuzz, refract, mat = _k2_extend(
+                    q_origin, q_dir, jnp.int32(count), scene_arrays, config)
+                jax.block_until_ready(t)
+            hit = hit & live
+            with timer.time("miss"):
+                radiance = _k4_miss(radiance, q_slot, q_throughput, q_dir,
+                                    live & ~hit)
+                jax.block_until_ready(radiance)
+            with timer.time("shade"):
+                q_origin, q_dir, q_throughput = _k3_shade(
+                    q_pixel, frame, sample, jnp.uint32(bounce), q_origin,
+                    q_dir, q_throughput, t, hit, normal, albedo, fuzz,
+                    refract, mat)
+                jax.block_until_ready(q_dir)
+            with timer.time("compact"):
+                (q_pixel, q_slot, q_origin, q_dir, q_throughput,
+                 new_count) = _compact(hit, q_pixel, q_slot, q_origin,
+                                       q_dir, q_throughput)
+                # The blocking counter readback the reference does twice
+                # per bounce (path_tracer.rs:327-345) — here it is also
+                # what sizes the next host iteration.
+                count = int(new_count)
+            bounce += 1
+    return radiance, jnp.float32(rays_total)

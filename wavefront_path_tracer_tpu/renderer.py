@@ -95,6 +95,9 @@ class RenderResult:
     wall_time_s: float
     mrays_per_s: float       # rays processed by extend+shade / wall time
     rays_traced: float = 0.0
+    # Fused-engine in-kernel counters (iterations, supers_entered,
+    # clusters_entered) when stage observability is on; else None.
+    kernel_stats: Optional[dict] = None
     _accum_np: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
 
     @property
@@ -115,7 +118,7 @@ class Renderer:
     """Progressive renderer with accumulation-restart semantics."""
 
     def __init__(self, scene: Scene, camera: CameraController,
-                 config: RenderConfig, triangles=None):
+                 config: RenderConfig, triangles=None, stage_timer=None):
         if (triangles is not None and config.engine == "fused"
                 and config.intersector != "baked"):
             raise NotImplementedError(
@@ -124,6 +127,10 @@ class Renderer:
             )
         self.config = config
         self.camera = camera
+        # Optional utils.profiling.KernelTimer: per-kernel wall times on
+        # the wavefront engine (host-stepped diagnostic loop), real
+        # in-kernel counters on the fused engine.
+        self.stage_timer = stage_timer
         self.scene_arrays = prepare_scene(scene, config, triangles)
         self.progress = RenderProgress()
         # Device-resident accumulator: never round-trips to the host
@@ -160,15 +167,41 @@ class Renderer:
         # The RNG frame salt stays fixed for a whole accumulation run;
         # progressive SPF batches are distinguished by sample_base, so
         # progressive and batched renders accumulate identical samples.
-        rad, rays = self._engine.render_samples(
-            self.scene_arrays, cam, view, inv_proj, cfg,
-            jnp.uint32(cfg.frame),
-            jnp.uint32(self.progress.accumulated_samples),
-            n_samples,
-        )
+        kernel_stats = None
+        if self.stage_timer is not None and cfg.engine == "wavefront":
+            from wavefront_path_tracer_tpu.models.wavefront import (
+                render_samples_staged,
+            )
+
+            rad, rays = render_samples_staged(
+                self.scene_arrays, cam, view, inv_proj, cfg,
+                jnp.uint32(cfg.frame),
+                jnp.uint32(self.progress.accumulated_samples),
+                n_samples, timer=self.stage_timer,
+            )
+        elif self.stage_timer is not None and cfg.engine == "fused":
+            from wavefront_path_tracer_tpu.models.fused import (
+                render_samples_with_stats,
+            )
+
+            rad, rays, kernel_stats = render_samples_with_stats(
+                self.scene_arrays, cam, view, inv_proj, cfg,
+                jnp.uint32(cfg.frame),
+                jnp.uint32(self.progress.accumulated_samples),
+                n_samples,
+            )
+        else:
+            rad, rays = self._engine.render_samples(
+                self.scene_arrays, cam, view, inv_proj, cfg,
+                jnp.uint32(cfg.frame),
+                jnp.uint32(self.progress.accumulated_samples),
+                n_samples,
+            )
         # Fetching the scalar ray count forces completion (this device's
         # block_until_ready can return early); the radiance stays put.
         rays = float(rays)
+        if kernel_stats is not None:
+            kernel_stats = {k: float(v) for k, v in kernel_stats.items()}
         dt = time.perf_counter() - t0
 
         self._accum = self._accum + rad
@@ -180,6 +213,7 @@ class Renderer:
             wall_time_s=dt,
             mrays_per_s=rays / dt / 1e6,
             rays_traced=rays,
+            kernel_stats=kernel_stats,
         )
 
     def render(self) -> RenderResult:

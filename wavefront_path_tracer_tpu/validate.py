@@ -2,14 +2,20 @@
 
 The BASELINE acceptance criterion is "< 1e-3 RMSE vs CPU oracle images"
 (BASELINE.md); this tool renders the same configuration with the
-megakernel oracle and the engine under test (optionally on different
-platforms) and reports the display-image RMSE plus convergence stats.
+megakernel oracle and the engine under test — each optionally pinned to
+a platform — and reports the display-image RMSE plus convergence stats.
 
-Usage::
+The BASELINE-exact flow renders the oracle ONCE on CPU into a golden
+artifact, then gates the TPU engine against it::
 
-    python -m wavefront_path_tracer_tpu.validate \
-        --scene book_one_final --width 400 --height 225 --spp 100 \
-        --engine fused --intersector baked
+    # 1. produce the golden image (CPU-only process; no TPU claim)
+    python -m wavefront_path_tracer_tpu.validate --platform cpu \
+        --spp 1000 --oracle-only --oracle-cache golden/oracle_400x225_1000.npz
+
+    # 2. gate the fused TPU engine against it
+    python -m wavefront_path_tracer_tpu.validate --spp 1000 \
+        --engine fused --intersector baked \
+        --oracle-cache golden/oracle_400x225_1000.npz
 
 Exit code 0 iff RMSE < --gate (default 1e-3).
 """
@@ -17,9 +23,29 @@ Exit code 0 iff RMSE < --gate (default 1e-3).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
+import os
 import sys
 import time
+
+
+def _device_ctx(platform: str | None):
+    """Pin subsequent jits to the first device of ``platform`` (the
+    whole-process jax_platforms config cannot be switched per render)."""
+    if platform is None:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.default_device(jax.devices(platform)[0])
+
+
+def _oracle_meta(args) -> dict:
+    return {
+        "scene": args.scene, "width": args.width, "height": args.height,
+        "spp": args.spp, "max_bounces": args.max_bounces,
+        "engine": args.oracle_engine, "intersector": args.oracle_intersector,
+    }
 
 
 def main(argv=None) -> int:
@@ -31,16 +57,37 @@ def main(argv=None) -> int:
     p.add_argument("--max-bounces", type=int, default=50)
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
+    p.add_argument("--clusters", type=int, default=0)
+    p.add_argument("--test-platform", default=None,
+                   help="device platform for the engine under test "
+                        "(cpu | tpu; default = process default)")
     p.add_argument("--oracle-engine", default="megakernel")
     p.add_argument("--oracle-intersector", default="bruteforce")
+    p.add_argument("--oracle-platform", default=None,
+                   help="device platform for the oracle render")
     p.add_argument("--oracle-spf", type=int, default=10,
                    help="oracle frame-batch size (the XLA oracle is slow; "
                         "multi-minute single dispatches trip the device "
                         "watchdog, so its spp budget runs in batches)")
+    p.add_argument("--oracle-cache", default=None,
+                   help="npz golden artifact: loaded if present (metadata "
+                        "validated), else the oracle render is saved to it")
+    p.add_argument("--oracle-only", action="store_true",
+                   help="produce/refresh the golden artifact and exit")
+    p.add_argument("--platform", default=None,
+                   help="force the whole process onto a platform (cpu "
+                        "avoids claiming the TPU tunnel entirely)")
     p.add_argument("--gate", type=float, default=1e-3)
     p.add_argument("--save-prefix", default=None,
                    help="write <prefix>_test.png / <prefix>_oracle.png")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
 
     from wavefront_path_tracer_tpu.renderer import render
     from wavefront_path_tracer_tpu.scene import CameraController
@@ -56,31 +103,69 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces,
     )
 
+    # --- oracle image: golden artifact or fresh render ---
+    meta = _oracle_meta(args)
+    oracle_image = None
+    if args.oracle_cache and os.path.exists(args.oracle_cache):
+        z = np.load(args.oracle_cache, allow_pickle=False)
+        stored = json.loads(str(z["meta"]))
+        if stored != meta:
+            raise ValueError(
+                f"golden artifact {args.oracle_cache} was rendered with "
+                f"{stored}, but this gate needs {meta}; delete it or pass "
+                "matching flags")
+        oracle_image = z["image"]
+        oracle_platform = str(z["platform"])
+        print(f"loaded golden oracle ({oracle_platform}) from "
+              f"{args.oracle_cache}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        with _device_ctx(args.oracle_platform):
+            import jax
+
+            oracle_platform = (args.oracle_platform
+                               or jax.default_backend())
+            oracle = render(scene, cc, base.replace(
+                engine=args.oracle_engine,
+                intersector=args.oracle_intersector,
+                samples_per_frame=min(args.oracle_spf, args.spp)))
+        oracle_image = oracle.image
+        print(f"oracle done in {time.time() - t0:.1f}s "
+              f"({oracle_platform})", file=sys.stderr)
+        if args.oracle_cache:
+            os.makedirs(os.path.dirname(args.oracle_cache) or ".",
+                        exist_ok=True)
+            np.savez_compressed(
+                args.oracle_cache, image=np.asarray(oracle_image),
+                meta=np.asarray(json.dumps(meta)),
+                platform=np.asarray(oracle_platform))
+            print(f"saved golden oracle to {args.oracle_cache}",
+                  file=sys.stderr)
+    if args.oracle_only:
+        return 0
+
+    # --- engine under test ---
     t0 = time.time()
-    test = render(scene, cc, base.replace(
-        engine=args.engine, intersector=args.intersector,
-        samples_per_frame=min(args.spp, 200)))
+    with _device_ctx(args.test_platform):
+        test = render(scene, cc, base.replace(
+            engine=args.engine, intersector=args.intersector,
+            baked_clusters=args.clusters,
+            samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
           f"({test.mrays_per_s:.1f} Mrays/s)", file=sys.stderr)
 
-    t0 = time.time()
-    oracle = render(scene, cc, base.replace(
-        engine=args.oracle_engine, intersector=args.oracle_intersector,
-        samples_per_frame=min(args.oracle_spf, args.spp)))
-    t_oracle = time.time() - t0
-    print(f"oracle done in {t_oracle:.1f}s", file=sys.stderr)
-
-    err = rmse(test.image, oracle.image)
+    err = rmse(test.image, oracle_image)
     if args.save_prefix:
         write_png(f"{args.save_prefix}_test.png", test.image)
-        write_png(f"{args.save_prefix}_oracle.png", oracle.image)
+        write_png(f"{args.save_prefix}_oracle.png", oracle_image)
 
     result = {
         "scene": args.scene,
         "config": f"{args.width}x{args.height}@{args.spp}spp",
         "engine": f"{args.engine}/{args.intersector}",
-        "oracle": f"{args.oracle_engine}/{args.oracle_intersector}",
+        "oracle": f"{args.oracle_engine}/{args.oracle_intersector}"
+                  f"@{oracle_platform}",
         "rmse": err,
         "gate": args.gate,
         "pass": bool(err < args.gate),
