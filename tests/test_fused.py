@@ -61,3 +61,46 @@ def test_baked_cluster_culling_matches(book_cover_scene, oracle):
     cfg = BASE.replace(engine="fused", intersector="baked", baked_clusters=2)
     fz = render(book_cover_scene, _cover_camera(), cfg)
     _statistically_equal(fz, oracle)
+
+
+def test_culled_hierarchy_matches_unculled_spheres():
+    """With enough spheres the two-level hierarchy actually engages
+    (globals split, Morton clusters, slab cap); culling must be
+    conservative — same image as the unculled baked kernel up to
+    near-tie reorder."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=96, seed=3)
+    cfg = BASE.replace(engine="fused", intersector="baked",
+                       samples_per_pixel=2, samples_per_frame=2)
+    plain = render(scene, _cover_camera(), cfg)
+    culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
+    _statistically_equal(culled, plain)
+
+
+def test_culled_triangles_match_unculled():
+    """Triangle clusters (Morton by centroid + slab cap) are conservative
+    too: terrain mesh renders identically culled vs not."""
+    from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+    scene, tris = mesh_terrain_scene(n_quads=6, seed=1)
+    cfg = BASE.replace(engine="fused", intersector="baked",
+                       samples_per_pixel=2, samples_per_frame=2)
+    plain = render(scene, _cover_camera(), cfg, triangles=tris)
+    culled = render(scene, _cover_camera(),
+                    cfg.replace(baked_clusters=8), triangles=tris)
+    _statistically_equal(culled, plain)
+
+
+def test_culled_triangles_match_oracle():
+    """Culled fused triangles vs the XLA megakernel oracle."""
+    from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+    scene, tris = mesh_terrain_scene(n_quads=5, seed=2)
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    ref = render(scene, _cover_camera(), cfg.replace(engine="megakernel"),
+                 triangles=tris)
+    culled = render(scene, _cover_camera(),
+                    cfg.replace(engine="fused", intersector="baked",
+                                baked_clusters=8), triangles=tris)
+    _statistically_equal(culled, ref)

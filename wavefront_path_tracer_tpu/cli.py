@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--scene", default="book_one_final",
                    help="book_cover | book_one_final | procedural | "
-                        "cornell_spheres | mesh_demo")
+                        "cornell_spheres | mesh_demo | mesh_terrain")
     p.add_argument("--scene-seed", type=int, default=42)
     p.add_argument("--spheres", type=int, default=10000,
                    help="sphere count for --scene procedural")
@@ -110,6 +110,10 @@ def build_scene(args):
         from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
 
         return mesh_demo_scene()
+    if args.scene == "mesh_terrain":
+        from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+        return mesh_terrain_scene(seed=args.scene_seed)
     scene_kwargs = {}
     if args.scene == "book_one_final":
         scene_kwargs["seed"] = args.scene_seed

@@ -103,7 +103,6 @@ def _baked_fn(scene_arrays, clusters: int = 0):
         )
         tri_key = 1  # replaced with the full fingerprint below
     if triangles is not None:
-        clusters = 0  # the cluster variant is spheres-only
         tri_key = hash(b"".join(np.asarray(t).tobytes() for t in triangles))
     # Fingerprint EVERY baked table — scenes differing only in radii or
     # materials must not reuse a stale kernel.
@@ -124,7 +123,8 @@ def _baked_fn(scene_arrays, clusters: int = 0):
             np.asarray(scene_arrays["mat_type"]),
         )
         if clusters > 0:
-            fn = baked_culled_intersect(*args, cluster_size=clusters)
+            fn = baked_culled_intersect(*args, cluster_size=clusters,
+                                        triangles=triangles)
         else:
             fn = baked_intersect(*args, triangles=triangles)
         _BAKED_CACHE[key] = fn

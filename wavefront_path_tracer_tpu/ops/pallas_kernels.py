@@ -443,17 +443,20 @@ def _morton_order(centers):
 def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            mat_type, cluster_size: int = 16,
                            super_factor: int = 8,
-                           global_radius_factor: float = 10.0):
+                           global_radius_factor: float = 10.0,
+                           triangles=None):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
     (``extend.wgsl:80-140``): instead of per-lane stack traversal (whose
-    gathers are pathological on this device), the sphere set is culled
-    with *whole-tile consensus* skips at two granularities.  The design
-    is driven by three measured facts: the VPU is issue-rate-bound (~1
-    vector op/cycle), so saved sphere tests are saved wall time; masked
-    per-lane work saves nothing (SIMD); and ``pl.when`` costs one scalar
-    branch per cluster, so the skip test must fire often to pay.
+    gathers are pathological on this device), spheres AND triangles are
+    culled with *whole-tile consensus* skips.  The design is driven by
+    three measured facts: the VPU is issue-rate-bound (~1 vector
+    op/cycle), so saved primitive tests are saved wall time; masked
+    per-lane work saves nothing (SIMD); and an interleaved
+    ``pl.when(any(...))`` costs ~270 ns (a vector->scalar pipeline
+    stall), so consensus reduces are batched ahead of the branches,
+    where they pipeline to near-zero cost.
 
     What makes the skips fire on real scenes:
 
@@ -461,8 +464,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
       unconditionally first (radius > ``global_radius_factor`` x median
       — e.g. the book scene's r=1000 ground).  Their AABBs would
       otherwise inflate every ancestor box to "everything".
-    * **Slab exit cap**: all clustered spheres live in a tight world
-      AABB (the book scene's sphere field is a thin slab).  A ray's exit
+    * **Slab exit cap**: clustered primitives live in a tight world AABB
+      (the book scene's sphere field is a thin slab).  A ray's exit
       distance ``t_exit`` from that box upper-bounds every in-hierarchy
       hit, so a sky-bound ray — whose ``best_t`` stays huge and would
       veto every consensus — stops blocking skips the moment it leaves
@@ -470,18 +473,18 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     * **Dead lanes abstain**: the persistent kernel passes its ``alive``
       mask; exhausted lanes never veto a skip, so the tile tail gets
       faster as lanes finish.
-    * Spheres are Morton-ordered so cluster AABBs are tight, and
-      clusters are grouped ``super_factor``-at-a-time under an outer
-      consensus skip (two-level hierarchy) so large scenes cull in
-      O(#superclusters) slab tests.
+    * Primitives are Morton-ordered (triangles by centroid) so cluster
+      AABBs are tight; clusters group ``super_factor``-at-a-time under
+      an outer consensus skip when there are many (two-level hierarchy).
 
-    Returns the same 11-tuple interface as the other intersectors.
-    Cull correctness: a cluster is skipped only when every live lane's
+    Returns the 15-tuple interface of :func:`baked_intersect` plus two
+    trailing cull-stat planes (supers/clusters entered).  Cull
+    correctness: a cluster is skipped only when every live lane's
     current nearest hit provably cannot be improved inside the cluster's
     box (AABB entry distance lower-bounds any contained hit; rays
     starting inside a box get entry 0; in-slab hits are bounded by the
     slab exit), so results equal the brute-force kernel up to
-    sphere-iteration order.
+    primitive-iteration order.
     """
     import numpy as np
 
@@ -510,27 +513,55 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         global_rows = rows(np.arange(centers.shape[0]))
         rest = np.zeros((0,), np.int64)
 
-    order = rest[_morton_order(centers[rest])] if rest.size else rest
-    clusters = []
-    for start in range(0, order.size, cluster_size):
-        idx = order[start:start + cluster_size]
-        lo = (centers[idx] - radii[idx, None]).min(axis=0)
-        hi = (centers[idx] + radii[idx, None]).max(axis=0)
-        clusters.append((lo, hi, rows(idx)))
-    clusters_flat = [(lo.tolist(), hi.tolist(), sph)
-                     for lo, hi, sph in clusters]
-    supers = []
-    for start in range(0, len(clusters), super_factor):
-        grp = clusters[start:start + super_factor]
-        lo = np.min([c[0] for c in grp], axis=0)
-        hi = np.max([c[1] for c in grp], axis=0)
-        supers.append((lo.tolist(), hi.tolist(),
-                       [(c[0].tolist(), c[1].tolist(), c[2]) for c in grp]))
-    if order.size:
-        slab_lo = (centers[order] - radii[order, None]).min(axis=0).tolist()
-        slab_hi = (centers[order] + radii[order, None]).max(axis=0).tolist()
+    def build_hierarchy(aabb_lo, aabb_hi, items):
+        """Morton-ordered clusters + supers + slab over per-item AABBs."""
+        clusters = []
+        for start in range(0, len(items), cluster_size):
+            idx = slice(start, start + cluster_size)
+            lo = aabb_lo[idx].min(axis=0).tolist()
+            hi = aabb_hi[idx].max(axis=0).tolist()
+            clusters.append((lo, hi, items[start:start + cluster_size]))
+        supers = []
+        for start in range(0, len(clusters), super_factor):
+            grp = clusters[start:start + super_factor]
+            lo = np.min([c[0] for c in grp], axis=0).tolist()
+            hi = np.max([c[1] for c in grp], axis=0).tolist()
+            supers.append((lo, hi, grp))
+        slab = (aabb_lo.min(axis=0).tolist(), aabb_hi.max(axis=0).tolist())
+        return clusters, supers, slab
+
+    if rest.size:
+        order = rest[_morton_order(centers[rest])]
+        sph_hier = build_hierarchy(
+            centers[order] - radii[order, None],
+            centers[order] + radii[order, None], rows(order))
     else:
-        slab_lo = slab_hi = [0.0, 0.0, 0.0]
+        sph_hier = ([], [], None)
+
+    tris = []
+    tri_hier = ([], [], None)
+    if triangles is not None and triangles.num_triangles > 0:
+        v0 = np.asarray(triangles.v0, np.float32)
+        e1 = np.asarray(triangles.e1, np.float32)
+        e2 = np.asarray(triangles.e2, np.float32)
+        nrm = np.cross(e1, e2)
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                               1e-20)
+        t_alb = np.asarray(triangles.albedo, np.float32)
+        t_fz = np.asarray(triangles.fuzz, np.float32)
+        t_io = np.asarray(triangles.refract_idx, np.float32)
+        t_mt = np.asarray(triangles.mat_type, np.float32)
+        order = _morton_order(v0 + (e1 + e2) / 3.0)
+        v0, e1, e2, nrm = v0[order], e1[order], e2[order], nrm[order]
+        t_alb, t_fz, t_io, t_mt = t_alb[order], t_fz[order], t_io[order], t_mt[order]
+        tris = [
+            (v0[i].tolist(), e1[i].tolist(), e2[i].tolist(), nrm[i].tolist(),
+             t_alb[i].tolist(), float(t_fz[i]), float(t_io[i]), float(t_mt[i]))
+            for i in range(v0.shape[0])
+        ]
+        verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3, 3)
+        tri_hier = build_hierarchy(
+            verts.min(axis=1), verts.max(axis=1), tris)
 
     def intersect(ox, oy, oz, dx, dy, dz, alive=None):
         f32 = jnp.float32
@@ -543,7 +574,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
         def sphere_tests(sph, carry):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt) = carry
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
             for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
                 ocx = ox - cx
                 ocy = oy - cy
@@ -569,8 +600,47 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_fz = jnp.where(better, fz, b_fz)
                 b_io = jnp.where(better, ior, b_io)
                 b_mt = jnp.where(better, mt, b_mt)
+                b_it = jnp.where(better, 0.0, b_it)
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-                    b_fz, b_io, b_mt)
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it)
+
+        def tri_tests(items, carry):
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
+            for v0, e1, e2, nrm, alb, fz, ior, mt in items:
+                # Two-sided Moller-Trumbore, everything constant but the ray.
+                pvx = dy * e2[2] - dz * e2[1]
+                pvy = dz * e2[0] - dx * e2[2]
+                pvz = dx * e2[1] - dy * e2[0]
+                det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+                inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / safe, 0.0)
+                tvx = ox - v0[0]
+                tvy = oy - v0[1]
+                tvz = oz - v0[2]
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1[2] - tvz * e1[1]
+                qvy = tvz * e1[0] - tvx * e1[2]
+                qvz = tvx * e1[1] - tvy * e1[0]
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+                valid = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
+                         & (u + v <= 1.0) & (tt > T_MIN))
+                tt = jnp.where(valid, tt, T_FAR)
+                better = tt < best_t
+                best_t = jnp.where(better, tt, best_t)
+                b_nx = jnp.where(better, nrm[0], b_nx)
+                b_ny = jnp.where(better, nrm[1], b_ny)
+                b_nz = jnp.where(better, nrm[2], b_nz)
+                b_it = jnp.where(better, 1.0, b_it)
+                b_ar = jnp.where(better, alb[0], b_ar)
+                b_ag = jnp.where(better, alb[1], b_ag)
+                b_ab = jnp.where(better, alb[2], b_ab)
+                b_fz = jnp.where(better, fz, b_fz)
+                b_io = jnp.where(better, ior, b_io)
+                b_mt = jnp.where(better, mt, b_mt)
+            return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it)
 
         def box_range(lo, hi):
             """(entry, exit) of the ray against an AABB (slab method)."""
@@ -588,86 +658,86 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
             return tmin, tmax
 
-        init = (
-            jnp.full(shape, T_FAR, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32), jnp.ones(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.ones(shape, f32), jnp.zeros(shape, f32),
-        )
-        carry = sphere_tests(global_rows, init)
-        if not supers:
-            return carry + (jnp.zeros(shape, f32), jnp.zeros(shape, f32))
-
-        # Per-lane cap on any in-hierarchy hit: the slab exit distance.
-        s_min, s_max = box_range(slab_lo, slab_hi)
-        t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
-                           jnp.float32(-1.0))
-        if alive is not None:
-            t_exit = jnp.where(alive, t_exit, -1.0)
+        def slab_exit(slab):
+            s_min, s_max = box_range(slab[0], slab[1])
+            t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
+                               jnp.float32(-1.0))
+            if alive is not None:
+                t_exit = jnp.where(alive, t_exit, -1.0)
+            return t_exit
 
         def cluster_cond(box_lo, box_hi, cap):
             c_min, c_max = box_range(box_lo, box_hi)
             return ((c_min <= c_max) & (c_max > T_MIN)
                     & (jnp.maximum(c_min, 0.0) < cap))
 
-        # Two-level only when single-level would pay too many box tests
-        # per iteration; below that, one flat batch of conditions.
-        two_level = len(clusters) > 48
+        f0 = jnp.zeros(shape, f32)
+        init = (
+            jnp.full(shape, T_FAR, f32),
+            f0, f0, f0, jnp.ones(shape, f32),
+            f0, f0, f0, f0,
+            jnp.ones(shape, f32), f0,
+            f0, f0, f0, f0,
+        )
+        carry = sphere_tests(global_rows, init)
+        hierarchies = [(sph_hier, sphere_tests), (tri_hier, tri_tests)]
+        hierarchies = [(h, fn) for h, fn in hierarchies if h[0]]
+        if not hierarchies:
+            return carry + (f0, f0)
 
         def body(*refs):
             for ref, val in zip(refs, carry):
                 ref[:] = val
             t_ref = refs[0]
-            sup_ref, clu_ref = refs[11], refs[12]
-            sup_ref[:] = jnp.zeros(shape, f32)
-            clu_ref[:] = jnp.zeros(shape, f32)
+            sup_ref, clu_ref = refs[15], refs[16]
+            sup_ref[:] = f0
+            clu_ref[:] = f0
 
-            def run_clusters(grp, cap):
-                # Batch ALL consensus reduces before any branch: an
-                # interleaved any()+pl.when costs ~270 ns each (vector->
-                # scalar pipeline stall, measured ~12 sphere-tests'
-                # worth); batched, the reduces pipeline and the scalar
-                # branches are nearly free.  Conditions therefore use the
-                # iteration-entry best_t (no intra-batch tightening) —
-                # a strictly conservative, still-correct cull.
-                conds = [jnp.any(cluster_cond(c_lo, c_hi, cap))
-                         for c_lo, c_hi, _ in grp]
-                for cond, (c_lo, c_hi, sph) in zip(conds, grp):
-                    @pl.when(cond)
-                    def _(sph=sph):
-                        clu_ref[:] = clu_ref[:] + 1.0
-                        vals = sphere_tests(
-                            sph, tuple(r[:] for r in refs[:11]))
-                        for ref, val in zip(refs, vals):
-                            ref[:] = val
+            for (clusters, supers, slab), tests in hierarchies:
+                t_exit = slab_exit(slab)
 
-            if two_level:
-                cap0 = jnp.minimum(t_ref[:], t_exit)
-                sup_conds = [
-                    jnp.any(cluster_cond(s_lo, s_hi, cap0))
-                    for s_lo, s_hi, _ in supers
-                ]
-                for cond, (s_lo, s_hi, grp) in zip(sup_conds, supers):
-                    @pl.when(cond)
-                    def _(grp=grp):
-                        sup_ref[:] = sup_ref[:] + 1.0
-                        # Refresh the cap: earlier supers' hits tighten it.
-                        run_clusters(grp, jnp.minimum(t_ref[:], t_exit))
-            else:
-                cap0 = jnp.minimum(t_ref[:], t_exit)
-                run_clusters(clusters_flat, cap0)
+                def run_clusters(grp, cap, tests=tests):
+                    # Batch ALL consensus reduces before any branch: an
+                    # interleaved any()+pl.when costs ~270 ns each
+                    # (vector->scalar pipeline stall, ~12 sphere-tests'
+                    # worth); batched, the reduces pipeline and the
+                    # scalar branches are nearly free.  Conditions use
+                    # the batch-entry best_t — strictly conservative.
+                    conds = [jnp.any(cluster_cond(c_lo, c_hi, cap))
+                             for c_lo, c_hi, _ in grp]
+                    for cond, (c_lo, c_hi, items) in zip(conds, grp):
+                        @pl.when(cond)
+                        def _(items=items, tests=tests):
+                            clu_ref[:] = clu_ref[:] + 1.0
+                            vals = tests(items,
+                                         tuple(r[:] for r in refs[:15]))
+                            for ref, val in zip(refs, vals):
+                                ref[:] = val
+
+                if len(clusters) > 48:
+                    cap0 = jnp.minimum(t_ref[:], t_exit)
+                    sup_conds = [
+                        jnp.any(cluster_cond(s_lo, s_hi, cap0))
+                        for s_lo, s_hi, _ in supers
+                    ]
+                    for cond, (s_lo, s_hi, grp) in zip(sup_conds, supers):
+                        @pl.when(cond)
+                        def _(grp=grp, t_exit=t_exit):
+                            sup_ref[:] = sup_ref[:] + 1.0
+                            # Refresh: earlier supers' hits tighten the cap.
+                            run_clusters(grp, jnp.minimum(t_ref[:], t_exit))
+                else:
+                    run_clusters(clusters, jnp.minimum(t_ref[:], t_exit))
 
             return tuple(r[:] for r in refs)
 
         return pl.run_scoped(
-            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(13)]
+            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(17)]
         )
 
     intersect.returns_cull_stats = True
-    intersect.n_supers = len(supers)
-    intersect.n_clusters = len(clusters)
+    intersect.n_supers = len(sph_hier[1]) + len(tri_hier[1])
+    intersect.n_clusters = len(sph_hier[0]) + len(tri_hier[0])
     return intersect
 
 
@@ -781,11 +851,10 @@ def _persistent_impl(
         (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
          b_fuzz, b_ior, b_mt) = res[:11]
         if has_stats:
-            sup_acc = sup_acc + res[11]
-            clu_acc = clu_acc + res[12]
-            tri_fields = (None, None, None, None)
-        else:
-            tri_fields = res[11:] if len(res) > 11 else (None, None, None, None)
+            sup_acc = sup_acc + res[-2]
+            clu_acc = clu_acc + res[-1]
+            res = res[:-2]
+        tri_fields = res[11:15] if len(res) > 11 else (None, None, None, None)
         niter = niter + 1.0
 
         hit = (best_t < T_FAR) & alive

@@ -186,3 +186,43 @@ def mesh_demo_scene():
     blue = b.lambertian([0.1, 0.2, 0.6])
     b.sphere([0.0, 0.5, -0.2], 0.5, blue)
     return b.build_mesh_scene()
+
+
+def mesh_terrain_scene(n_quads: int = 50, seed: int = 7):
+    """Procedural triangle-mesh benchmark scene: an n_quads x n_quads
+    displaced terrain grid (2 triangles per quad — 5,000 triangles at
+    the default) with mixed materials, plus a ground sphere and a few
+    probe spheres.  The triangle-at-scale stress config (BASELINE
+    config 5 / reference future work README.md:22-26)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    b = MeshSceneBuilder()
+    ground = b.lambertian([0.5, 0.5, 0.5])
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+
+    mats = [
+        b.lambertian([0.6, 0.4, 0.3]),
+        b.lambertian([0.3, 0.55, 0.3]),
+        b.metal([0.7, 0.7, 0.75], 0.1),
+    ]
+    extent = 10.0
+    xs = np.linspace(-extent, extent, n_quads + 1)
+    zs = np.linspace(-extent, extent, n_quads + 1)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    # Smooth rolling height field + jitter keeps AABBs locally tight.
+    h = (0.6 * np.sin(gx * 0.7) * np.cos(gz * 0.5)
+         + 0.25 * np.sin(gx * 2.1 + 1.0) * np.sin(gz * 1.7)
+         + rng.uniform(0.0, 0.08, gx.shape))
+    v = np.stack([gx, h + 0.6, gz], axis=-1)
+    for i in range(n_quads):
+        for j in range(n_quads):
+            m = mats[(i * 7 + j * 3) % len(mats)] if (i + j) % 11 else mats[2]
+            b.triangle(v[i, j], v[i + 1, j], v[i + 1, j + 1], m)
+            b.triangle(v[i, j], v[i + 1, j + 1], v[i, j + 1], m)
+
+    glass = b.dielectric(1.5)
+    b.sphere([0.0, 2.2, 0.0], 1.0, glass)
+    shiny = b.metal([0.8, 0.7, 0.5], 0.0)
+    b.sphere([-4.0, 2.4, -2.0], 1.0, shiny)
+    return b.build_mesh_scene()
