@@ -86,8 +86,9 @@ def main() -> None:
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)
-    p.add_argument("--clusters", type=int, default=0,
-                   help="fused/baked: leaf cluster size for consensus culling")
+    p.add_argument("--clusters", type=int, default=16,
+                   help="fused/baked: leaf cluster size for consensus "
+                        "culling (16 measured best at 1080p; 0 disables)")
     p.add_argument("--block-tiles", type=int, default=32,
                    help="fused: NxN pixel blocks per ray tile (0 = linear)")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")

@@ -83,47 +83,52 @@ def _next_f32(state):
 def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
     """Nearest hit for a ray tile against the VMEM scene.
 
-    Sphere-scalar loop with running winner-attribute selects (see module
-    docstring).  Returns (best_t, cx, cy, cz, 1/r, albedo rgb, fuzz,
-    ior, mat_type) as tile-shaped arrays.
+    Block-vectorized dynamic loads: one (8, 16) VMEM vector load per 8
+    spheres, then *static* scalar extracts from the loaded block
+    (measured ~2x slower than baked constants — vs ~10x for the
+    per-sphere dynamic scalar row loads this replaces).  Table padding
+    rows are NaN (``pack_scene``), which can never win the nearest-hit
+    select (NaN compares false), so the block loop needs no tail
+    masking.  Returns (best_t, cx, cy, cz, 1/r, albedo rgb, fuzz, ior,
+    mat_type) as tile-shaped arrays.
     """
     f32 = jnp.float32
     shape = ox.shape
     a_q = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a_q  # hoisted out of the sphere loop
 
-    def sphere_step(s, carry):
-        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-         b_fuzz, b_ior, b_mt) = carry
-        # One dynamic sublane row-load per sphere; scalar extraction from
-        # the loaded row is static indexing.
-        row = scn_ref[s]
-        cx, cy, cz, r = row[0], row[1], row[2], row[3]
-        ocx = ox - cx
-        ocy = oy - cy
-        ocz = oz - cz
-        b_q = dx * ocx + dy * ocy + dz * ocz
-        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b_q * b_q - a_q * c_q
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b_q - sq) * inv_a
-        t2 = (-b_q + sq) * inv_a
-        t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
-        t = jnp.where(disc >= 0.0, t, T_FAR)
-        better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        b_cx = jnp.where(better, cx, b_cx)
-        b_cy = jnp.where(better, cy, b_cy)
-        b_cz = jnp.where(better, cz, b_cz)
-        b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
-        b_ar = jnp.where(better, row[4], b_ar)
-        b_ag = jnp.where(better, row[5], b_ag)
-        b_ab = jnp.where(better, row[6], b_ab)
-        b_fuzz = jnp.where(better, row[7], b_fuzz)
-        b_ior = jnp.where(better, row[8], b_ior)
-        b_mt = jnp.where(better, row[9], b_mt)
-        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-                b_fuzz, b_ior, b_mt)
+    def block_step(k, carry):
+        blk = scn_ref[pl.ds(k * 8, 8), :]   # one vector load, 8 spheres
+        for j in range(8):
+            (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+             b_fuzz, b_ior, b_mt) = carry
+            cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b_q = dx * ocx + dy * ocy + dz * ocz
+            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_q * b_q - a_q * c_q
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b_q - sq) * inv_a
+            t2 = (-b_q + sq) * inv_a
+            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            t = jnp.where(disc >= 0.0, t, T_FAR)
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            b_cx = jnp.where(better, cx, b_cx)
+            b_cy = jnp.where(better, cy, b_cy)
+            b_cz = jnp.where(better, cz, b_cz)
+            b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+            b_ar = jnp.where(better, blk[j, 4], b_ar)
+            b_ag = jnp.where(better, blk[j, 5], b_ag)
+            b_ab = jnp.where(better, blk[j, 6], b_ab)
+            b_fuzz = jnp.where(better, blk[j, 7], b_fuzz)
+            b_ior = jnp.where(better, blk[j, 8], b_ior)
+            b_mt = jnp.where(better, blk[j, 9], b_mt)
+            carry = (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+                     b_fuzz, b_ior, b_mt)
+        return carry
 
     init = (
         jnp.full(shape, T_FAR, f32),
@@ -132,7 +137,8 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
         jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
         jnp.zeros(shape, f32), jnp.ones(shape, f32), jnp.zeros(shape, f32),
     )
-    return jax.lax.fori_loop(0, n_spheres, sphere_step, init)
+    n_blocks = (n_spheres + 7) // 8
+    return jax.lax.fori_loop(0, n_blocks, block_step, init)
 
 
 def _shade_tile(pix, frame, sample, bounce,
@@ -991,13 +997,14 @@ def pack_scene(scene_arrays, pad_to: int = 8) -> jnp.ndarray:
 
     Columns: 0-2 center xyz, 3 radius, 4-6 albedo rgb, 7 fuzz, 8 ior,
     9 mat_type (as f32), 10-15 reserved.  Row-major so the kernel's
-    per-sphere scalar reads index the sublane dimension dynamically.
-    Padding rows sit beyond n_spheres and are never read.
+    block loads slice the sublane dimension dynamically.  Padding rows
+    are NaN: the kernel's 8-sphere blocks may cover them, and NaN
+    propagates to a nearest-hit compare that is always false.
     """
     centers = scene_arrays["centers"]
     n = centers.shape[0]
     s = ((n + pad_to - 1) // pad_to) * pad_to
-    packed = jnp.zeros((s, 16), jnp.float32)
+    packed = jnp.full((s, 16), jnp.nan, jnp.float32)
     packed = packed.at[:n, 0:3].set(centers)
     packed = packed.at[:n, 3].set(scene_arrays["radii"])
     packed = packed.at[:n, 4:7].set(scene_arrays["albedo"])
