@@ -40,9 +40,18 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         engine=engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=block_tiles,
     )
-    scene = get_scene(scene_name)
-    cc = CameraController.book_one_final()
-    arrays = prepare_scene(scene, cfg)
+    triangles = None
+    if scene_name == "mesh_demo":
+        from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
+
+        scene, triangles = mesh_demo_scene()
+    elif scene_name == "mesh_terrain":
+        from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+        scene, triangles = mesh_terrain_scene()
+    else:
+        cc = CameraController.book_one_final()
+    arrays = prepare_scene(scene, cfg, triangles=triangles)
     view = jnp.asarray(cc.view_matrix())
     inv_proj = jnp.asarray(cc.inverse_projection(cfg.width, cfg.height))
     cam = cc.gpu_camera()

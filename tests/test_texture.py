@@ -1,0 +1,118 @@
+"""Textures: checker + image UV lookup, across engines."""
+
+import numpy as np
+import pytest
+
+from wavefront_path_tracer_tpu.renderer import render
+from wavefront_path_tracer_tpu.scene.scene import SceneBuilder, get_scene
+from wavefront_path_tracer_tpu.utils.image import rmse
+
+from tests.test_engines import BASE, _cover_camera
+
+
+def _checker_scene():
+    b = SceneBuilder()
+    ground = b.lambertian([0.2, 0.3, 0.1],
+                          texture=("checker", [0.9, 0.9, 0.9], 10.0))
+    b.sphere([0.0, -100.5, -1.0], 100.0, ground)
+    b.sphere([0.0, 0.0, -1.2], 0.5, b.lambertian([0.1, 0.2, 0.5]))
+    b.sphere([1.0, 0.0, -1.0], 0.5, b.metal([0.8, 0.6, 0.2], 0.1))
+    return b.build()
+
+
+def test_unit_checker_select():
+    from wavefront_path_tracer_tpu.ops.texture import checker_select
+
+    # sin products: (+,+,+) -> positive -> first color.
+    assert not bool(checker_select(0.1, 0.1, 0.1, 10.0))
+    assert bool(checker_select(0.1, 0.1, -0.1, 10.0))
+    # scale 0 never selects (fused kernels rely on this).
+    assert not bool(checker_select(0.5, -0.5, 0.5, 0.0))
+
+
+def test_unit_sphere_uv():
+    from wavefront_path_tracer_tpu.ops.texture import sphere_uv
+
+    n = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, -1.0, 0.0],
+                  [-1.0, 0.0, 0.0]], np.float32)
+    u, v = sphere_uv(n)
+    np.testing.assert_allclose(np.asarray(v), [0.5, 1.0, 0.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u)[0], 0.5, atol=1e-6)  # +x
+    np.testing.assert_allclose(np.asarray(u)[3] % 1.0, 0.0, atol=1e-6)  # -x
+
+
+def test_unit_image_lookup():
+    from wavefront_path_tracer_tpu.ops.texture import image_lookup
+
+    tex = np.zeros((1, 2, 2, 3), np.float32)
+    tex[0, 0, 0] = [1, 0, 0]  # top-left (v=1, u=0)
+    tex[0, 1, 1] = [0, 1, 0]  # bottom-right (v=0, u=1)
+    c = image_lookup(np.asarray(tex), np.zeros((2,), np.int32),
+                     np.array([0.1, 0.9]), np.array([0.9, 0.1]))
+    np.testing.assert_allclose(np.asarray(c), [[1, 0, 0], [0, 1, 0]])
+
+
+def test_checker_engines_bit_identical():
+    scene = _checker_scene()
+    cc = _cover_camera()
+    mk = render(scene, cc, BASE.replace(engine="megakernel"))
+    wf = render(scene, cc, BASE.replace(engine="wavefront"))
+    np.testing.assert_array_equal(mk.accumulated, wf.accumulated)
+    # The checker actually fires: both colors visible on the ground.
+    assert mk.image.std() > 0.05
+
+
+def test_checker_fused_baked_matches_oracle():
+    scene = _checker_scene()
+    cc = _cover_camera()
+    mk = render(scene, cc, BASE.replace(engine="megakernel"))
+    fz = render(scene, cc, BASE.replace(engine="fused", intersector="baked"))
+    assert rmse(fz.image, mk.image) < 5e-3
+
+
+def test_checker_fused_culled_matches_oracle():
+    # Enough spheres that the cull hierarchy engages, checker-only
+    # textures (the fused engine rejects image textures).
+    rng = np.random.RandomState(5)
+    b = SceneBuilder()
+    ground = b.lambertian([0.2, 0.3, 0.1],
+                          texture=("checker", [0.9, 0.9, 0.9], 3.0))
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+    for _ in range(70):
+        c = [rng.uniform(-6, 6), 0.25, rng.uniform(-6, 6)]
+        b.sphere(c, 0.25, b.lambertian(rng.rand(3)))
+    scene = b.build()
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    fz0 = render(scene, cc, cfg.replace(engine="fused", intersector="baked"))
+    fz = render(scene, cc, cfg.replace(engine="fused", intersector="baked",
+                                       baked_clusters=8))
+    # Culling is conservative: near-identical to the unculled kernel
+    # (a handful of near-tangent hits flip on fma/rounding context —
+    # on the real TPU the two were measured bit-identical).
+    dd = np.abs(fz.accumulated - fz0.accumulated).max(axis=-1)
+    assert (dd > 1e-3).mean() < 0.01
+    # vs the XLA oracle, checker-BOUNDARY pixels flip on ULP differences
+    # in the hit point (full color swap, not noise), so the gate is
+    # "almost all pixels agree" rather than a tight global RMSE.
+    diff = np.abs(fz.image - mk.image).max(axis=-1)
+    assert (diff > 0.05).mean() < 0.02
+    assert rmse(fz.image, mk.image) < 5e-2
+
+
+def test_image_texture_renders_on_xla_engines():
+    scene = get_scene("book_checker")  # includes the UV-pattern sphere
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    wf = render(scene, cc, cfg.replace(engine="wavefront"))
+    np.testing.assert_array_equal(mk.accumulated, wf.accumulated)
+    assert np.isfinite(mk.accumulated).all()
+
+
+def test_image_texture_fused_rejected():
+    scene = get_scene("book_checker")
+    cc = _cover_camera()
+    with pytest.raises(NotImplementedError, match="image textures"):
+        render(scene, cc, BASE.replace(engine="fused", intersector="baked"))

@@ -104,13 +104,26 @@ def _baked_fn(scene_arrays, clusters: int = 0):
         tri_key = 1  # replaced with the full fingerprint below
     if triangles is not None:
         tri_key = hash(b"".join(np.asarray(t).tobytes() for t in triangles))
+    tex = None
+    if "tex_kind" in scene_arrays:
+        if "tex_data" in scene_arrays:
+            raise NotImplementedError(
+                "image textures need per-lane gathers, which are "
+                "pathological on this device; the fused engine supports "
+                "checker textures only — render image-textured scenes "
+                "with engine='wavefront' or 'megakernel'"
+            )
+        # Checker-only: (albedo2, scale); scale 0 disables per sphere.
+        tex = (np.asarray(scene_arrays["tex_albedo2"]),
+               np.asarray(scene_arrays["tex_scale"]))
     # Fingerprint EVERY baked table — scenes differing only in radii or
     # materials must not reuse a stale kernel.
     sphere_key = hash(b"".join(
         np.asarray(scene_arrays[k]).tobytes()
         for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
                   "mat_type")
-    ))
+        if k in scene_arrays
+    ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
     key = (centers.shape[0], sphere_key, tri_key, clusters)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
@@ -124,9 +137,9 @@ def _baked_fn(scene_arrays, clusters: int = 0):
         )
         if clusters > 0:
             fn = baked_culled_intersect(*args, cluster_size=clusters,
-                                        triangles=triangles)
+                                        triangles=triangles, tex=tex)
         else:
-            fn = baked_intersect(*args, triangles=triangles)
+            fn = baked_intersect(*args, triangles=triangles, tex=tex)
         _BAKED_CACHE[key] = fn
         while len(_BAKED_CACHE) > _BAKED_CACHE_MAX:
             _BAKED_CACHE.popitem(last=False)
@@ -147,6 +160,11 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples, baked_fn=_baked_fn(scene_arrays, config.baked_clusters),
+        )
+    if "tex_kind" in scene_arrays and config.intersector != "baked":
+        raise NotImplementedError(
+            "the fused engine evaluates textures only with "
+            "intersector='baked' (checker textures as baked constants)"
         )
     if config.intersector != "bruteforce":
         # Per-lane BVH gathers are pathological on TPU; refusing beats

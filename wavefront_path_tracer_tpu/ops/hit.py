@@ -62,6 +62,18 @@ def intersect_and_resolve(origin, direction, scene_arrays, config):
     refract = scene_arrays["refract_idx"][sphere_idx]
     mat = scene_arrays["mat_type"][sphere_idx]
 
+    if "tex_kind" in scene_arrays:
+        from wavefront_path_tracer_tpu.ops.texture import resolve_albedo
+
+        albedo = resolve_albedo(
+            albedo,
+            scene_arrays["tex_kind"][sphere_idx],
+            scene_arrays["tex_albedo2"][sphere_idx],
+            scene_arrays["tex_scale"][sphere_idx],
+            scene_arrays["tex_id"][sphere_idx],
+            p, normal, scene_arrays.get("tex_data"),
+        )
+
     if "tri_v0" in scene_arrays:
         t_t, tri_idx, hit_t = intersect_triangles(
             origin, direction,

@@ -302,7 +302,7 @@ def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
 
 
 def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
-                    triangles=None):
+                    triangles=None, tex=None):
     """Build an intersect function with the scene baked as immediates.
 
     Dynamic per-sphere scalar VMEM loads dominate the sphere loop's
@@ -323,11 +323,18 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
     import numpy as np
 
     n = centers.shape[0]
+    textured = tex is not None
+    if textured:
+        a2, ts = np.asarray(tex[0], np.float32), np.asarray(tex[1], np.float32)
+    else:
+        a2 = np.zeros((n, 3), np.float32)
+        ts = np.zeros((n,), np.float32)
     sph = [
         (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
          float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
          float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
-         float(mat_type[i]))
+         float(mat_type[i]),
+         float(a2[i, 0]), float(a2[i, 1]), float(a2[i, 2]), float(ts[i]))
         for i in range(n)
     ]
     tris = []
@@ -358,7 +365,11 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
         b_fuzz = jnp.zeros(shape, f32)
         b_ior = jnp.ones(shape, f32)
         b_mt = jnp.zeros(shape, f32)
-        for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
+        b_a2r = jnp.zeros(shape, f32)
+        b_a2g = jnp.zeros(shape, f32)
+        b_a2b = jnp.zeros(shape, f32)
+        b_ts = jnp.zeros(shape, f32)
+        for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, tscale in sph:
             ocx = ox - cx
             ocy = oy - cy
             ocz = oz - cz
@@ -382,6 +393,11 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
             b_fuzz = jnp.where(better, fz, b_fuzz)
             b_ior = jnp.where(better, ior, b_ior)
             b_mt = jnp.where(better, mt, b_mt)
+            if textured:
+                b_a2r = jnp.where(better, a2r, b_a2r)
+                b_a2g = jnp.where(better, a2g, b_a2g)
+                b_a2b = jnp.where(better, a2b, b_a2b)
+                b_ts = jnp.where(better, tscale, b_ts)
 
         b_nx = jnp.zeros(shape, f32)
         b_ny = jnp.zeros(shape, f32)
@@ -419,10 +435,21 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
             b_fuzz = jnp.where(better, fz, b_fuzz)
             b_ior = jnp.where(better, ior, b_ior)
             b_mt = jnp.where(better, mt, b_mt)
+            if textured:
+                # Triangles are untextured (v1): a triangle win clears
+                # the checker (scale 0 disables the select).
+                b_a2r = jnp.where(better, 0.0, b_a2r)
+                b_a2g = jnp.where(better, 0.0, b_a2g)
+                b_a2b = jnp.where(better, 0.0, b_a2b)
+                b_ts = jnp.where(better, 0.0, b_ts)
 
-        return (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
-                b_fuzz, b_ior, b_mt, b_nx, b_ny, b_nz, b_is_tri)
+        out = (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+               b_fuzz, b_ior, b_mt, b_nx, b_ny, b_nz, b_is_tri)
+        if textured:
+            out = out + (b_a2r, b_a2g, b_a2b, b_ts)
+        return out
 
+    intersect.has_textures = textured
     return intersect
 
 
@@ -450,7 +477,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            mat_type, cluster_size: int = 16,
                            super_factor: int = 8,
                            global_radius_factor: float = 10.0,
-                           triangles=None):
+                           triangles=None, tex=None):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -500,13 +527,22 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     fuzz = np.asarray(fuzz, np.float32)
     refract_idx = np.asarray(refract_idx, np.float32)
     mat_type = np.asarray(mat_type, np.float32)
+    textured = tex is not None
+    if textured:
+        t_a2 = np.asarray(tex[0], np.float32)
+        t_ts = np.asarray(tex[1], np.float32)
+    else:
+        t_a2 = np.zeros((centers.shape[0], 3), np.float32)
+        t_ts = np.zeros((centers.shape[0],), np.float32)
+    nf = 19 if textured else 15  # carried winner fields
 
     def rows(idx):
         return [
             (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
              float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
              float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
-             float(mat_type[i]))
+             float(mat_type[i]), float(t_a2[i, 0]), float(t_a2[i, 1]),
+             float(t_a2[i, 2]), float(t_ts[i]))
             for i in idx
         ]
 
@@ -580,8 +616,9 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
         def sphere_tests(sph, carry):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
-            for cx, cy, cz, r, ar, ag, ab, fz, ior, mt in sph:
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+            texc = list(carry[15:])
+            for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts in sph:
                 ocx = ox - cx
                 ocy = oy - cy
                 ocz = oz - cz
@@ -607,12 +644,16 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_io = jnp.where(better, ior, b_io)
                 b_mt = jnp.where(better, mt, b_mt)
                 b_it = jnp.where(better, 0.0, b_it)
+                if textured:
+                    texc = [jnp.where(better, c, v) for c, v in
+                            zip((a2r, a2g, a2b, ts), texc)]
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it)
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc)
 
         def tri_tests(items, carry):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+            texc = list(carry[15:])
             for v0, e1, e2, nrm, alb, fz, ior, mt in items:
                 # Two-sided Moller-Trumbore, everything constant but the ray.
                 pvx = dy * e2[2] - dz * e2[1]
@@ -645,8 +686,12 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_fz = jnp.where(better, fz, b_fz)
                 b_io = jnp.where(better, ior, b_io)
                 b_mt = jnp.where(better, mt, b_mt)
+                if textured:
+                    # Triangles are untextured (v1): a win disables the
+                    # checker (scale 0).
+                    texc = [jnp.where(better, 0.0, v) for v in texc]
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it)
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc)
 
         def box_range(lo, hi):
             """(entry, exit) of the ray against an AABB (slab method)."""
@@ -685,6 +730,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             jnp.ones(shape, f32), f0,
             f0, f0, f0, f0,
         )
+        if textured:
+            init = init + (f0, f0, f0, f0)
         carry = sphere_tests(global_rows, init)
         hierarchies = [(sph_hier, sphere_tests), (tri_hier, tri_tests)]
         hierarchies = [(h, fn) for h, fn in hierarchies if h[0]]
@@ -695,7 +742,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             for ref, val in zip(refs, carry):
                 ref[:] = val
             t_ref = refs[0]
-            sup_ref, clu_ref = refs[15], refs[16]
+            sup_ref, clu_ref = refs[nf], refs[nf + 1]
             sup_ref[:] = f0
             clu_ref[:] = f0
 
@@ -716,7 +763,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                         def _(items=items, tests=tests):
                             clu_ref[:] = clu_ref[:] + 1.0
                             vals = tests(items,
-                                         tuple(r[:] for r in refs[:15]))
+                                         tuple(r[:] for r in refs[:nf]))
                             for ref, val in zip(refs, vals):
                                 ref[:] = val
 
@@ -738,10 +785,11 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             return tuple(r[:] for r in refs)
 
         return pl.run_scoped(
-            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(17)]
+            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(nf + 2)]
         )
 
     intersect.returns_cull_stats = True
+    intersect.has_textures = textured
     intersect.n_supers = len(sph_hier[1]) + len(tri_hier[1])
     intersect.n_clusters = len(sph_hier[0]) + len(tri_hier[0])
     return intersect
@@ -803,6 +851,7 @@ def _persistent_impl(
     valid = valid_ref[:] > 0
     shape = pix.shape
     has_stats = getattr(intersect_fn, "returns_cull_stats", False)
+    has_tex = getattr(intersect_fn, "has_textures", False)
 
     zeros = jnp.zeros(shape, jnp.float32)
     u0 = jnp.zeros(shape, jnp.uint32)
@@ -861,6 +910,7 @@ def _persistent_impl(
             clu_acc = clu_acc + res[-1]
             res = res[:-2]
         tri_fields = res[11:15] if len(res) > 11 else (None, None, None, None)
+        tex_fields = res[15:19] if has_tex else None
         niter = niter + 1.0
 
         hit = (best_t < T_FAR) & alive
@@ -874,6 +924,16 @@ def _persistent_impl(
             pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
             *tri_fields)
+
+        if tex_fields is not None:
+            # Checker texture at the hit point (ops/texture.py formula;
+            # scale 0 — solid or non-checker winners — never selects).
+            a2r, a2g, a2b, t_s = tex_fields
+            sel = (jnp.sin(t_s * p_x) * jnp.sin(t_s * p_y)
+                   * jnp.sin(t_s * p_z)) < 0.0
+            b_ar = jnp.where(sel, a2r, b_ar)
+            b_ag = jnp.where(sel, a2g, b_ag)
+            b_ab = jnp.where(sel, a2b, b_ab)
 
         ox = jnp.where(hit, p_x, ox)
         oy = jnp.where(hit, p_y, oy)

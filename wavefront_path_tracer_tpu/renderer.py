@@ -72,6 +72,15 @@ def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
             "tri_refract": jnp.asarray(triangles.refract_idx),
             "tri_mat_type": jnp.asarray(triangles.mat_type),
         })
+    if scene.tex_kind is not None:
+        extra.update({
+            "tex_kind": jnp.asarray(scene.tex_kind),
+            "tex_albedo2": jnp.asarray(scene.tex_albedo2),
+            "tex_scale": jnp.asarray(scene.tex_scale),
+            "tex_id": jnp.asarray(scene.tex_id),
+        })
+        if scene.tex_data is not None:
+            extra["tex_data"] = jnp.asarray(scene.tex_data)
     arrays = {
         "centers": jnp.asarray(scene.centers),
         "radii": jnp.asarray(scene.radii),

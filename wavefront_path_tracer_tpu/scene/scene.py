@@ -43,6 +43,13 @@ class Scene(NamedTuple):
     table_fuzz: np.ndarray    # (M,)  f32
     table_refract: np.ndarray # (M,)  f32
     table_type: np.ndarray    # (M,)  i32
+    # Texture tables (ops/texture.py kinds; None when no material is
+    # textured, so untextured scenes carry zero extra state).
+    tex_kind: np.ndarray | None = None      # (N,) i32 0 solid/1 checker/2 image
+    tex_albedo2: np.ndarray | None = None   # (N, 3) f32 checker second color
+    tex_scale: np.ndarray | None = None     # (N,)  f32 checker frequency
+    tex_id: np.ndarray | None = None        # (N,)  i32 atlas index
+    tex_data: np.ndarray | None = None      # (T, H, W, 3) f32 image atlas
 
     @property
     def num_spheres(self) -> int:
@@ -57,8 +64,20 @@ class Scene(NamedTuple):
         r = self.radii[:, None]
         return self.centers - r, self.centers + r
 
+    @property
+    def has_textures(self) -> bool:
+        return self.tex_kind is not None and bool(np.any(self.tex_kind != 0))
+
     def permuted(self, order: np.ndarray) -> "Scene":
         """Scene with spheres reordered (BVH builds reorder primitives)."""
+        tex = {}
+        if self.tex_kind is not None:
+            tex = dict(
+                tex_kind=self.tex_kind[order],
+                tex_albedo2=self.tex_albedo2[order],
+                tex_scale=self.tex_scale[order],
+                tex_id=self.tex_id[order],
+            )
         return self._replace(
             centers=self.centers[order],
             radii=self.radii[order],
@@ -67,6 +86,7 @@ class Scene(NamedTuple):
             albedo=self.albedo[order],
             fuzz=self.fuzz[order],
             refract_idx=self.refract_idx[order],
+            **tex,
         )
 
 
@@ -75,20 +95,42 @@ class SceneBuilder:
 
     def __init__(self) -> None:
         self._spheres: list[tuple] = []   # (center, radius, mat_idx, mat_type)
-        self._materials: list[tuple] = [] # (albedo3, fuzz, refract_idx, mat_type)
+        self._materials: list[tuple] = [] # (albedo3, fuzz, refract_idx, mat_type, tex)
+        self._images: list[np.ndarray] = []
 
-    # Material ctor semantics match reference material.rs:26-36.
-    def lambertian(self, albedo) -> int:
-        self._materials.append((np.asarray(albedo, np.float32), 0.0, 0.0, LAMBERTIAN))
+    def _tex(self, texture):
+        """Normalize a texture spec: None | ("checker", color2, scale) |
+        an (H, W, 3) image array -> (kind, albedo2, scale, tex_id)."""
+        if texture is None:
+            return (0, np.zeros(3, np.float32), 0.0, 0)
+        if isinstance(texture, tuple) and texture and texture[0] == "checker":
+            _, color2, scale = texture
+            return (1, np.asarray(color2, np.float32), float(scale), 0)
+        img = np.asarray(texture, np.float32)
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError("image texture must be (H, W, 3)")
+        if self._images and img.shape != self._images[0].shape:
+            raise ValueError("all image textures must share one (H, W)")
+        self._images.append(img)
+        return (2, np.zeros(3, np.float32), 0.0, len(self._images) - 1)
+
+    # Material ctor semantics match reference material.rs:26-36; the
+    # optional texture modulates albedo (reference future work).
+    def lambertian(self, albedo, texture=None) -> int:
+        self._materials.append((np.asarray(albedo, np.float32), 0.0, 0.0,
+                                LAMBERTIAN, self._tex(texture)))
         return len(self._materials) - 1
 
-    def metal(self, albedo, fuzz: float) -> int:
+    def metal(self, albedo, fuzz: float, texture=None) -> int:
         fuzz = float(np.clip(fuzz, 0.0, 1.0))
-        self._materials.append((np.asarray(albedo, np.float32), fuzz, 0.0, METAL))
+        self._materials.append((np.asarray(albedo, np.float32), fuzz, 0.0,
+                                METAL, self._tex(texture)))
         return len(self._materials) - 1
 
     def dielectric(self, refract_index: float) -> int:
-        self._materials.append((np.ones(3, np.float32), 0.0, float(refract_index), DIELECTRIC))
+        self._materials.append((np.ones(3, np.float32), 0.0,
+                                float(refract_index), DIELECTRIC,
+                                (0, np.zeros(3, np.float32), 0.0, 0)))
         return len(self._materials) - 1
 
     def sphere(self, center, radius: float, mat_idx: int) -> None:
@@ -109,6 +151,21 @@ class SceneBuilder:
         t_refract = np.array([m[2] for m in self._materials], np.float32)
         t_type = np.array([m[3] for m in self._materials], np.int32)
 
+        tex = {}
+        t_kind = np.array([m[4][0] for m in self._materials], np.int32)
+        if np.any(t_kind != 0):
+            t_a2 = np.stack([m[4][1] for m in self._materials]).astype(np.float32)
+            t_scale = np.array([m[4][2] for m in self._materials], np.float32)
+            t_tid = np.array([m[4][3] for m in self._materials], np.int32)
+            tex = dict(
+                tex_kind=t_kind[mat_idx],
+                tex_albedo2=t_a2[mat_idx],
+                tex_scale=t_scale[mat_idx],
+                tex_id=t_tid[mat_idx],
+                tex_data=(np.stack(self._images).astype(np.float32)
+                          if self._images else None),
+            )
+
         return Scene(
             centers=centers,
             radii=radii,
@@ -121,6 +178,7 @@ class SceneBuilder:
             table_fuzz=t_fuzz,
             table_refract=t_refract,
             table_type=t_type,
+            **tex,
         )
 
 
@@ -238,11 +296,53 @@ def cornell_spheres(seed: int = 11) -> Scene:
     return b.build()
 
 
+def book_checker(seed: int = 42) -> Scene:
+    """book_one_final with the classic RTIOW checkered ground plus one
+    image-textured sphere (procedural UV test pattern — the image
+    plumbing without external assets)."""
+    scene = book_one_final(seed)
+    del scene
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    ground = b.lambertian([0.5, 0.5, 0.5],
+                          texture=("checker", [0.9, 0.9, 0.9], 3.0))
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+
+    for a in range(-11, 11):
+        for c in range(-11, 11):
+            choose_mat = rng.rand()
+            center = np.array(
+                [a + 0.9 * rng.rand(), 0.2, c + 0.9 * rng.rand()], np.float32
+            )
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose_mat < 0.8:
+                albedo = rng.rand(3) * rng.rand(3)
+                b.sphere(center, 0.2, b.lambertian(albedo))
+            elif choose_mat < 0.95:
+                albedo = 0.5 + 0.5 * rng.rand(3)
+                fuzz = 0.5 * rng.rand()
+                b.sphere(center, 0.2, b.metal(albedo, fuzz))
+            else:
+                b.sphere(center, 0.2, b.dielectric(1.5))
+
+    b.sphere([0.0, 1.0, 0.0], 1.0, b.dielectric(1.50))
+    # UV test pattern: hue by u, brightness by v.
+    u = np.linspace(0.0, 1.0, 64)[None, :, None]
+    v = np.linspace(0.15, 1.0, 32)[:, None, None]
+    img = np.concatenate([u, 1.0 - u, np.full_like(u, 0.35)], -1) * v
+    b.sphere([-4.0, 1.0, 0.0], 1.0,
+             b.lambertian([1.0, 1.0, 1.0], texture=img.astype(np.float32)))
+    b.sphere([4.0, 1.0, 0.0], 1.0, b.metal([0.7, 0.6, 0.5], 0.0))
+    return b.build()
+
+
 _SCENES = {
     "book_cover": book_cover,
     "book_one_final": book_one_final,
     "procedural": procedural_spheres,
     "cornell_spheres": cornell_spheres,
+    "book_checker": book_checker,
 }
 
 
