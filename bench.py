@@ -50,7 +50,8 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
 
         scene, triangles = mesh_terrain_scene()
     else:
-        cc = CameraController.book_one_final()
+        scene = get_scene(scene_name)
+    cc = CameraController.book_one_final()
     arrays = prepare_scene(scene, cfg, triangles=triangles)
     view = jnp.asarray(cc.view_matrix())
     inv_proj = jnp.asarray(cc.inverse_projection(cfg.width, cfg.height))

@@ -1,5 +1,7 @@
 """Multi-chip rendering over the 8-virtual-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -108,3 +110,31 @@ def test_fused_baked_engine_shards(book_cover_scene):
     mesh = make_mesh(4, sample_axis=1)
     rad = _sharded(book_cover_scene, cc, cfg, mesh)
     np.testing.assert_array_equal(rad, single.accumulated.reshape(-1, 3))
+
+
+def test_multihost_dryrun():
+    """Two CPU processes x 4 virtual devices: the multi-host mesh path
+    (parallel/multihost.py) renders tile bands bit-identical to a
+    single-process render."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    script = os.path.join(os.path.dirname(__file__), "multihost_dryrun.py")
+    procs = [
+        subprocess.Popen([_sys.executable, script, str(i), str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"process {i}: OK" in out

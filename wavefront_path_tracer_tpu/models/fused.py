@@ -278,12 +278,14 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "config", "n_samples", "baked_fn", "with_stats"),
+    static_argnames=("cam", "config", "baked_fn", "with_stats"),
 )
 def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
-                         n_samples: int, baked_fn=None,
+                         n_samples=1, baked_fn=None,
                          with_stats: bool = False):
+    # n_samples is a TRACED input (it only feeds the kernel's salt
+    # plane), so changing the spp budget never recompiles the kernel.
     if config.block_tiles:
         # Trace in 32x32-image-block lane order (see _block_perm), then
         # unscatter radiance back to natural pixel order.

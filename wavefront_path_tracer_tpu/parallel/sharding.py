@@ -64,11 +64,19 @@ def render_samples_sharded(
     frame,
     sample_base,
     n_samples: int,
+    global_arrays: bool = False,
 ):
     """Sharded equivalent of ``engine.render_samples``; returns (P, 3).
 
     Pixels shard over "tiles"; samples shard over "samples"; the result
     is the full-image radiance sum (replicated).
+
+    ``global_arrays=True`` is the multi-process mode (parallel/
+    multihost.py): inputs are already globally-sharded jax.Arrays, the
+    pixel index is built as a global array in *linear* order (each
+    process owns a contiguous pixel band; the block-tile permutation is
+    skipped because its unscatter gather would cross hosts), and the
+    caller assembles its addressable shards.
     """
     n_tiles = mesh.shape["tiles"]
     n_sample_shards = mesh.shape["samples"]
@@ -123,7 +131,25 @@ def render_samples_sharded(
         rad = jax.lax.psum(rad, axis_name="samples")
         return rad[None]
 
-    if config.engine == "fused" and config.block_tiles:
+    if global_arrays:
+        import numpy as np_
+
+        from jax.sharding import NamedSharding
+
+        inv = None
+        per_tile = config.num_pixels // n_tiles
+        pixel_idx = jax.make_array_from_callback(
+            (n_tiles, per_tile),
+            NamedSharding(mesh, P("tiles", None)),
+            lambda idx: np_.arange(config.num_pixels, dtype=np_.uint32)
+                        .reshape(n_tiles, per_tile)[idx],
+        )
+        rep = NamedSharding(mesh, P())
+        frame = jax.make_array_from_callback(
+            (), rep, lambda idx: np_.uint32(frame))
+        sample_base = jax.make_array_from_callback(
+            (), rep, lambda idx: np_.uint32(sample_base))
+    elif config.engine == "fused" and config.block_tiles:
         # Hand every shard block-coherent lanes (see fused._block_perm);
         # unscatter to natural pixel order after the gather.
         from wavefront_path_tracer_tpu.models.fused import _block_perm
@@ -147,6 +173,11 @@ def render_samples_sharded(
         check_vma=False,
     )
     rad = sharded(pixel_idx, scene_arrays, view, inv_proj, frame, sample_base)
+    if global_arrays:
+        # Leave the (n_tiles, per_tile, 3) global array as-is: eager
+        # reshapes/gathers on non-fully-addressable arrays are invalid;
+        # the multihost caller assembles its addressable shards.
+        return rad
     rad = rad.reshape(config.num_pixels, 3)
     if inv is not None:
         rad = rad[jnp.asarray(inv)]
