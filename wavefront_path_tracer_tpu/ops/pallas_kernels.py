@@ -608,13 +608,17 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     def intersect(ox, oy, oz, dx, dy, dz, alive=None):
         f32 = jnp.float32
         shape = ox.shape
-        a_q = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a_q
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
 
         def sphere_tests(sph, carry):
+            # Issue-rate-slimmed quadratic (the VPU executes ~1 vector
+            # op/cycle, so every op is wall time): directions are unit
+            # by construction in the fused kernel (raygen and shade both
+            # normalize), so a == 1 and the inv_a multiplies vanish; a
+            # negative discriminant propagates NaN through sqrt, and NaN
+            # compares false in `better`, replacing the disc>=0 select.
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
             texc = list(carry[15:])
@@ -624,13 +628,14 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 ocz = oz - cz
                 b_q = dx * ocx + dy * ocy + dz * ocz
                 c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = b_q * b_q - a_q * c_q
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-b_q - sq) * inv_a
-                t2 = (-b_q + sq) * inv_a
+                disc = b_q * b_q - c_q
+                sq = jnp.sqrt(disc)          # NaN when disc < 0
+                nb = -b_q
+                t1 = nb - sq
+                t2 = nb + sq
+                # NaN roots fall through both selects to T_FAR.
                 t = jnp.where(t1 > T_MIN, t1,
                               jnp.where(t2 > T_MIN, t2, T_FAR))
-                t = jnp.where(disc >= 0.0, t, T_FAR)
                 better = t < best_t
                 best_t = jnp.where(better, t, best_t)
                 b_cx = jnp.where(better, cx, b_cx)
