@@ -24,7 +24,8 @@ BASELINE_MRAYS = 1000.0
 
 def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
-               warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32):
+               warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32,
+               lane_split: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         samples_per_frame=spp, max_bounces=max_bounces,
         engine=engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=block_tiles,
+        lane_split=lane_split,
     )
     triangles = None
     if scene_name == "mesh_demo":
@@ -101,6 +103,8 @@ def main() -> None:
                         "culling (16 measured best at 1080p; 0 disables)")
     p.add_argument("--block-tiles", type=int, default=32,
                    help="fused: NxN pixel blocks per ray tile (0 = linear)")
+    p.add_argument("--lane-split", type=int, default=1,
+                   help="fused: split each pixel's samples over K lanes")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
@@ -131,7 +135,8 @@ def main() -> None:
     else:
         result = bench_once(args.scene, args.width, args.height, args.spp,
                             args.engine, args.intersector, args.max_bounces,
-                            clusters=args.clusters, block_tiles=args.block_tiles)
+                            clusters=args.clusters, block_tiles=args.block_tiles,
+                            lane_split=args.lane_split)
 
     value = result["mrays_per_s"]
     print(json.dumps({

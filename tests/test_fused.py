@@ -104,3 +104,17 @@ def test_culled_triangles_match_oracle():
                     cfg.replace(engine="fused", intersector="baked",
                                 baked_clusters=8), triangles=tris)
     _statistically_equal(culled, ref)
+
+
+def test_lane_split_equivalent():
+    """Splitting a pixel's sample budget over K lanes must sum to the
+    same radiance (same (pixel, sample) RNG streams, different lanes)."""
+    from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+    scene = book_cover()
+    cfg = BASE.replace(engine="fused", samples_per_pixel=4,
+                       samples_per_frame=4)
+    one = render(scene, _cover_camera(), cfg)
+    four = render(scene, _cover_camera(), cfg.replace(lane_split=4))
+    assert np.allclose(one.accumulated, four.accumulated, rtol=1e-5,
+                       atol=1e-5)

@@ -148,6 +148,15 @@ def _baked_fn(scene_arrays, clusters: int = 0):
     return fn
 
 
+def _effective_split(requested: int, n_samples: int) -> int:
+    """Largest divisor of n_samples not exceeding the requested split
+    (resolved where n_samples is a concrete python int)."""
+    split = max(1, requested)
+    while split > 1 and n_samples % split:
+        split -= 1
+    return split
+
+
 def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                    frame, sample_base, n_samples: int):
     """Sum of ``n_samples`` radiance samples; ((P, 3), rays_traced).
@@ -156,10 +165,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     with the scene as compile-time constants (fastest; per-scene compile,
     persistently cached).  Otherwise the scene stays a VMEM table.
     """
+    split = _effective_split(config.lane_split, n_samples)
     if config.intersector == "baked":
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples, baked_fn=_baked_fn(scene_arrays, config.baked_clusters),
+            lane_split=split,
         )
     if "tex_kind" in scene_arrays and config.intersector != "baked":
         raise NotImplementedError(
@@ -182,7 +193,7 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         )
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
-        n_samples, baked_fn=None,
+        n_samples, baked_fn=None, lane_split=split,
     )
 
 
@@ -199,12 +210,14 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,
+        lane_split=_effective_split(config.lane_split, n_samples),
     )
 
 
 def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
                   config: RenderConfig, frame, sample_base,
-                  n_samples: int, baked_fn=None, with_stats: bool = False):
+                  n_samples: int, baked_fn=None, with_stats: bool = False,
+                  lane_split: int = 1):
     """Trace any pixel-index subset (a shard tile or the whole image).
 
     Not jitted itself — callers jit (render_samples) or trace it inside
@@ -214,14 +227,36 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     interpret = jax.default_backend() == "cpu"
     tile_rows = config.tile_rows
     num_pixels = pixel_idx.shape[0]
-    rows = -(-num_pixels // _LANES)
+
+    # Lane sample-splitting: the persistent loop's makespan per tile is
+    # its slowest lane (all samples of one pixel, serial).  Splitting
+    # each pixel's sample budget over K duplicate lanes cuts the tail
+    # at the cost of K x input planes; radiance copies sum at the end.
+    # ``lane_split`` is pre-resolved to a divisor of n_samples by the
+    # caller (_effective_split) — n_samples itself may be traced.
+    split = lane_split
+    n_per_lane = n_samples // split if split > 1 else n_samples
+    if split > 1:
+        pixel_idx = jnp.tile(pixel_idx, split)
+        soff_flat = jnp.repeat(
+            jnp.arange(split, dtype=jnp.uint32) * n_per_lane.astype(jnp.uint32)
+            if hasattr(n_per_lane, "astype")
+            else jnp.arange(split, dtype=jnp.uint32) * jnp.uint32(n_per_lane),
+            num_pixels)
+
+    lanes_total = pixel_idx.shape[0]
+    rows = -(-lanes_total // _LANES)
     rows_total = -(-rows // tile_rows) * tile_rows
 
     pix = _plane(pixel_idx, rows_total)
     xs = _plane((pixel_idx % config.width).astype(jnp.float32), rows_total)
     ys = _plane((pixel_idx // config.width).astype(jnp.float32), rows_total)
     lane = jnp.arange(rows_total * _LANES).reshape(rows_total, _LANES)
-    valid = (lane < num_pixels).astype(jnp.float32)
+    valid = (lane < lanes_total).astype(jnp.float32)
+    if split > 1:
+        soff = _plane(soff_flat, rows_total)
+    else:
+        soff = jnp.zeros((rows_total, _LANES), jnp.uint32)
 
     # Camera scalars for in-kernel raygen (layout: _raygen_tile docstring).
     # Recover scales from the inverse projection we were handed, so the
@@ -245,12 +280,12 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 
     salts = jnp.stack([
         jnp.uint32(frame), jnp.uint32(sample_base),
-        jnp.uint32(config.max_bounces), jnp.uint32(n_samples),
+        jnp.uint32(config.max_bounces), jnp.uint32(n_per_lane),
     ])
 
     if baked_fn is not None:
         rad_r, rad_g, rad_b, rays = fused_render_baked(
-            baked_fn, salts, cam_params, pix, xs, ys, valid,
+            baked_fn, salts, cam_params, pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
         )
     else:
@@ -258,12 +293,14 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         n_spheres = jnp.int32(scene_arrays["centers"].shape[0])
         rad_r, rad_g, rad_b, rays = fused_render_persistent(
             scene_packed, n_spheres, salts, cam_params,
-            pix, xs, ys, valid,
+            pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
-    )[:num_pixels]
+    )[:lanes_total]
+    if split > 1:
+        radiance = radiance.reshape(split, num_pixels, 3).sum(axis=0)
     # Aux plane: col 0 = per-tile live-ray counts; cols 1-3 are
     # iteration/cull stats (see _persistent_impl), not ray counts.
     if with_stats:
@@ -278,12 +315,13 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "config", "baked_fn", "with_stats"),
+    static_argnames=("cam", "config", "baked_fn", "with_stats",
+                     "lane_split"),
 )
 def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
                          n_samples=1, baked_fn=None,
-                         with_stats: bool = False):
+                         with_stats: bool = False, lane_split: int = 1):
     # n_samples is a TRACED input (it only feeds the kernel's salt
     # plane), so changing the spp budget never recompiles the kernel.
     if config.block_tiles:
@@ -294,10 +332,12 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
         out = render_pixels(
             jnp.asarray(perm), scene_arrays, cam, view, inv_proj, config,
             frame, sample_base, n_samples, baked_fn, with_stats=with_stats,
+            lane_split=lane_split,
         )
         return (out[0][jnp.asarray(inv)],) + out[1:]
     pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
     return render_pixels(
         pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
         sample_base, n_samples, baked_fn, with_stats=with_stats,
+        lane_split=lane_split,
     )

@@ -811,30 +811,33 @@ def make_persistent_tile(intersect_fn=None):
 
     def kernel(*refs):
         if baked:
-            (salt_ref, cam_ref, px_ref, xs_ref, ys_ref, valid_ref,
+            (salt_ref, cam_ref, px_ref, xs_ref, ys_ref, valid_ref, soff_ref,
              rad_r_o, rad_g_o, rad_b_o, rays_o) = refs
             intersect = intersect_fn
         else:
             (scn_ref, nsph_ref, salt_ref, cam_ref, px_ref, xs_ref, ys_ref,
-             valid_ref, rad_r_o, rad_g_o, rad_b_o, rays_o) = refs
+             valid_ref, soff_ref, rad_r_o, rad_g_o, rad_b_o, rays_o) = refs
             n_spheres = nsph_ref[0, 0]
 
             def intersect(ox, oy, oz, dx, dy, dz):
                 return _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz)
 
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
-                         ys_ref, valid_ref, rad_r_o, rad_g_o, rad_b_o, rays_o)
+                         ys_ref, valid_ref, soff_ref,
+                         rad_r_o, rad_g_o, rad_b_o, rays_o)
 
     return kernel
 
 
 def _persistent_impl(
     intersect_fn,
-    salt_ref,      # (1, 4) u32 SMEM: frame, sample_base, max_bounces, n_samples
+    salt_ref,      # (1, 4) u32 SMEM: frame, sample_base, max_bounces,
+                   # n_samples *per lane* (see lane_split)
     cam_ref,       # (1, 24) f32 VMEM camera params (see _raygen_tile)
     px_ref,        # (rows, 128) u32
     xs_ref, ys_ref,  # (rows, 128) f32 pixel coordinates
     valid_ref,     # (rows, 128) f32: 1 for real pixels, 0 for padding
+    soff_ref,      # (rows, 128) u32 per-lane sample offset (lane_split)
     rad_r_o, rad_g_o, rad_b_o, rays_o,  # (rows, 128) f32
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
@@ -853,6 +856,7 @@ def _persistent_impl(
     pix = px_ref[:]
     xs = xs_ref[:]
     ys = ys_ref[:]
+    soff = soff_ref[:]
     valid = valid_ref[:] > 0
     shape = pix.shape
     has_stats = getattr(intersect_fn, "returns_cull_stats", False)
@@ -886,7 +890,7 @@ def _persistent_impl(
 
         # Restart finished lanes on their next sample.
         start = (~alive) & (s_lane < n_samples)
-        sample = sample_base + s_lane
+        sample = sample_base + soff + s_lane
         gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
             xs, ys, pix, frame, sample, cam_ref)
         ox = jnp.where(start, gox, ox)
@@ -979,9 +983,9 @@ def _persistent_impl(
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
-    salts,          # (4,) u32: frame, sample_base, max_bounces, n_samples
+    salts,          # (4,) u32: frame, sample_base, max_bounces, n_samples/lane
     cam_params,     # (24,) f32
-    pix, xs, ys, valid,  # (rows_total, 128)
+    pix, xs, ys, valid, soff,  # (rows_total, 128)
     rows: int = 8,
     interpret: bool = False,
 ):
@@ -1005,7 +1009,7 @@ def fused_render_persistent(
         make_persistent_tile(),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
-                  tile_spec, tile_spec, tile_spec, tile_spec],
+                  tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
@@ -1014,7 +1018,7 @@ def fused_render_persistent(
         jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
-        pix, xs, ys, valid,
+        pix, xs, ys, valid, soff,
     )
     return outs
 
@@ -1026,7 +1030,7 @@ def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
     salts,          # (4,) u32
     cam_params,     # (24,) f32
-    pix, xs, ys, valid,  # (rows_total, 128)
+    pix, xs, ys, valid, soff,  # (rows_total, 128)
     rows: int = 8,
     interpret: bool = False,
 ):
@@ -1045,14 +1049,14 @@ def fused_render_baked(
         make_persistent_tile(baked_fn),
         grid=grid,
         in_specs=[smem_i, full,
-                  tile_spec, tile_spec, tile_spec, tile_spec],
+                  tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
     )(
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
-        pix, xs, ys, valid,
+        pix, xs, ys, valid, soff,
     )
     return outs
 

@@ -101,11 +101,14 @@ def render_samples_sharded(
         sshard = jax.lax.axis_index("samples").astype(jnp.uint32)
         base = sample_base + sshard * jnp.uint32(samples_per_shard)
         if config.engine == "fused":
-            from wavefront_path_tracer_tpu.models.fused import render_pixels
+            from wavefront_path_tracer_tpu.models.fused import (
+                _effective_split, render_pixels)
 
             rad, _ = render_pixels(
                 pixel_idx[0], scene_arrays, cam, view, inv_proj, config,
                 frame, base, samples_per_shard, baked_fn,
+                lane_split=_effective_split(config.lane_split,
+                                            samples_per_shard),
             )
         else:
             if config.engine == "megakernel":

@@ -36,12 +36,16 @@ class RenderConfig:
     # with per-material kernels (the reference's TODO, README.md:19).
     material_split: bool = False
     # Fused/baked engine: leaf cluster size for hierarchical consensus
-    # culling (0 = no culling; spheres only, ignored when triangles are
-    # present).
+    # culling of spheres AND triangles (0 = no culling).
     baked_clusters: int = 0
     # Fused engine: group pixels into NxN image blocks per ray tile so
     # cluster culling sees spatially coherent lanes (0 = linear order).
     block_tiles: int = 32
+    # Fused engine: split each pixel's sample budget over K duplicate
+    # lanes — cuts the persistent-loop tail (a tile runs as long as its
+    # slowest lane) at the cost of K x input planes.  Auto-reduced to a
+    # divisor of the frame's sample count.
+    lane_split: int = 1
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination instead of the reference's lossy `misses < 128`
