@@ -547,6 +547,68 @@ def make_kernel_when2(n_checks, body_spheres, mode):
     return kernel
 
 
+def make_kernel_w7(n_clusters, spheres_per_cluster):
+    """Dynamic-culled prototype: batched conds -> SMEM scalars -> fori
+    over clusters with pl.when(smem scalar) gating dynamic block loads.
+    Compile size O(n_clusters) for conds only; body is O(1)."""
+    def kernel(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+        blocks_per_cluster = spheres_per_cluster // 8
+
+        def scoped(t_ref, cond_ref):
+            def rep(i, carry):
+                acc, dxm = carry
+                dxm = dxm + 1e-6
+                t_ref[:] = jnp.full(shape, T_FAR, f32)
+
+                # cond pass: batched anys (pipelined), stored to SMEM
+                for c in range(n_clusters):
+                    lo = [-10.0 + c * 0.5, -1.0, -10.0]
+                    hi = [-8.0 + c * 0.5, 1.0, -8.0]
+                    tx0 = (lo[0] - ox) / dxm
+                    tx1 = (hi[0] - ox) / dxm
+                    tmin = jnp.minimum(tx0, tx1)
+                    tmax = jnp.maximum(tx0, tx1)
+                    ty0 = (lo[1] - oy) * dy
+                    ty1 = (hi[1] - oy) * dy
+                    tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+                    tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+                    live = (tmin <= tmax) & (jnp.maximum(tmin, 0.0) < t_ref[0, 0])
+                    cond_ref[c] = jnp.any(live).astype(jnp.int32)
+
+                def cluster_step(k, best_t):
+                    @pl.when(cond_ref[k] > 0)
+                    def _():
+                        bt = t_ref[:]
+                        for b in range(blocks_per_cluster):
+                            blk = scn_ref[pl.ds(k * spheres_per_cluster
+                                                + b * 8, 8), :]
+                            for j in range(8):
+                                cx, cy, cz, r = (blk[j, 0], blk[j, 1],
+                                                 blk[j, 2], blk[j, 3])
+                                t, better = quadratic(ox, oy, oz, dxm, dy,
+                                                      dz, cx, cy, cz, r, bt)
+                                bt = jnp.where(better, t, bt)
+                        t_ref[:] = bt
+                    return best_t
+
+                jax.lax.fori_loop(0, n_clusters, cluster_step, jnp.float32(0))
+                acc = acc + t_ref[:]
+                return acc, dxm
+
+            acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped, pltpu.VMEM(shape, jnp.float32),
+                      pltpu.SMEM((n_clusters,), jnp.int32))
+    return kernel
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["A", "B", "C", "C2", "C3", "D"]
     print(f"backend={jax.default_backend()} S={S} REPS={REPS}", flush=True)
@@ -576,5 +638,7 @@ if __name__ == "__main__":
         run_pairs("W5 25x16 pre-any ", make_kernel_when2(25, 16, "pre"), False)
     if "W6" in which:
         run_pairs("W6 25x16 or-pack ", make_kernel_when2(25, 16, "pack"), False)
+    if "W7" in which:
+        run_pairs("W7 dyncull smem  ", make_kernel_w7(25, 16), True)
     if "D" in which:
         matmul_bench()

@@ -118,3 +118,16 @@ def test_lane_split_equivalent():
     four = render(scene, _cover_camera(), cfg.replace(lane_split=4))
     assert np.allclose(one.accumulated, four.accumulated, rtol=1e-5,
                        atol=1e-5)
+
+
+def test_dynamic_culled_matches_unculled():
+    """The dynamic consensus-culled intersector (scene as VMEM tables,
+    O(1)-compile cluster loop) agrees with the unculled dynamic kernel."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=96, seed=3)
+    cfg = BASE.replace(engine="fused", intersector="bruteforce",
+                       samples_per_pixel=2, samples_per_frame=2)
+    plain = render(scene, _cover_camera(), cfg)
+    culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
+    _statistically_equal(culled, plain)

@@ -39,7 +39,9 @@ from wavefront_path_tracer_tpu.ops.pallas_kernels import (
     baked_culled_intersect,
     baked_intersect,
     fused_render_baked,
+    fused_render_dynculled,
     fused_render_persistent,
+    pack_culled_scene,
     pack_scene,
 )
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
@@ -54,6 +56,29 @@ _TILE_ROWS = 8
 # interactive sessions that mutate scenes.
 _BAKED_CACHE_MAX = 8
 _BAKED_CACHE: OrderedDict = OrderedDict()
+
+# Packed tables for the dynamic culled intersector, keyed by scene
+# fingerprint (cheap to rebuild; cached so device uploads amortize).
+_DYN_CACHE: OrderedDict = OrderedDict()
+
+
+def _dyn_tables(scene_arrays, cluster_size: int):
+    key = (hash(b"".join(
+        np.asarray(scene_arrays[k]).tobytes()
+        for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
+                  "mat_type"))), cluster_size)
+    hit = _DYN_CACHE.get(key)
+    if hit is None:
+        scn, clu, slab, ngb, ncl = pack_culled_scene(
+            scene_arrays, cluster_size=cluster_size)
+        hit = (jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(slab),
+               ngb, ncl)
+        _DYN_CACHE[key] = hit
+        while len(_DYN_CACHE) > _BAKED_CACHE_MAX:
+            _DYN_CACHE.popitem(last=False)
+    else:
+        _DYN_CACHE.move_to_end(key)
+    return hit
 
 
 @functools.lru_cache(maxsize=32)
@@ -191,9 +216,17 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             "the fused engine traces triangles only with "
             "intersector='baked' (the dynamic VMEM kernel is spheres-only)"
         )
+    dyn = None
+    dyn_static = None
+    if config.baked_clusters > 0:
+        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
+                                               config.baked_clusters)
+        dyn = (scn, clu, slab)
+        dyn_static = (ngb, ncl, config.baked_clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=None, lane_split=split,
+        dyn_tables=dyn, dyn_static=dyn_static,
     )
 
 
@@ -217,7 +250,7 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
 def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
                   config: RenderConfig, frame, sample_base,
                   n_samples: int, baked_fn=None, with_stats: bool = False,
-                  lane_split: int = 1):
+                  lane_split: int = 1, dyn_tables=None, dyn_static=None):
     """Trace any pixel-index subset (a shard tile or the whole image).
 
     Not jitted itself — callers jit (render_samples) or trace it inside
@@ -288,6 +321,13 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             baked_fn, salts, cam_params, pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
         )
+    elif dyn_tables is not None:
+        ngb, ncl, csize = dyn_static
+        rad_r, rad_g, rad_b, rays = fused_render_dynculled(
+            *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
+            n_global_blocks=ngb, n_clusters=ncl, cluster_size=csize,
+            rows=tile_rows, interpret=interpret,
+        )
     else:
         scene_packed = pack_scene(scene_arrays)
         n_spheres = jnp.int32(scene_arrays["centers"].shape[0])
@@ -316,12 +356,13 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "config", "baked_fn", "with_stats",
-                     "lane_split"),
+                     "lane_split", "dyn_static"),
 )
 def _render_samples_impl(scene_arrays, cam, view, inv_proj,
                          config: RenderConfig, frame, sample_base,
                          n_samples=1, baked_fn=None,
-                         with_stats: bool = False, lane_split: int = 1):
+                         with_stats: bool = False, lane_split: int = 1,
+                         dyn_tables=None, dyn_static=None):
     # n_samples is a TRACED input (it only feeds the kernel's salt
     # plane), so changing the spp budget never recompiles the kernel.
     if config.block_tiles:
@@ -332,12 +373,14 @@ def _render_samples_impl(scene_arrays, cam, view, inv_proj,
         out = render_pixels(
             jnp.asarray(perm), scene_arrays, cam, view, inv_proj, config,
             frame, sample_base, n_samples, baked_fn, with_stats=with_stats,
-            lane_split=lane_split,
+            lane_split=lane_split, dyn_tables=dyn_tables,
+            dyn_static=dyn_static,
         )
         return (out[0][jnp.asarray(inv)],) + out[1:]
     pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
     return render_pixels(
         pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
         sample_base, n_samples, baked_fn, with_stats=with_stats,
-        lane_split=lane_split,
+        lane_split=lane_split, dyn_tables=dyn_tables,
+        dyn_static=dyn_static,
     )

@@ -800,6 +800,226 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     return intersect
 
 
+def pack_culled_scene(scene_arrays, cluster_size: int = 16,
+                      global_radius_factor: float = 10.0):
+    """Host-side tables for the *dynamic* culled intersector.
+
+    Unlike the baked path (scene as compile-time constants, per-scene
+    compile), here the scene lives in VMEM tables and only the
+    *structure* (global-block count, cluster count, cluster size) is
+    static — so a new scene with the same structure reuses the compiled
+    kernel and even structure changes compile in O(#clusters), not
+    O(#spheres).
+
+    Returns (scn (N_pad, 16) f32 NaN-padded reordered sphere table,
+    clu (C, 8) f32 cluster AABBs [lo xyz, hi xyz, 0, 0],
+    slab (1, 8) f32 [lo xyz, hi xyz, 0, 0],
+    n_global_blocks, n_clusters) — the last two are python ints
+    (static kernel structure).
+    """
+    import numpy as np
+
+    centers = np.asarray(scene_arrays["centers"], np.float32)
+    radii = np.asarray(scene_arrays["radii"], np.float32)
+    albedo = np.asarray(scene_arrays["albedo"], np.float32)
+    fuzz = np.asarray(scene_arrays["fuzz"], np.float32)
+    refract = np.asarray(scene_arrays["refract_idx"], np.float32)
+    mat = np.asarray(scene_arrays["mat_type"], np.float32)
+
+    med_r = float(np.median(radii))
+    is_global = radii > global_radius_factor * med_r
+    g_idx = np.nonzero(is_global)[0]
+    rest = np.nonzero(~is_global)[0]
+    if rest.size <= 2 * cluster_size:
+        g_idx = np.arange(centers.shape[0])
+        rest = np.zeros((0,), np.int64)
+    order = rest[_morton_order(centers[rest])] if rest.size else rest
+
+    def rows(idx, pad_to):
+        n = idx.size
+        out = np.full((max(pad_to, ((n + 7) // 8) * 8), 16), np.nan,
+                      np.float32)
+        out[:n, 0:3] = centers[idx]
+        out[:n, 3] = radii[idx]
+        out[:n, 4:7] = albedo[idx]
+        out[:n, 7] = fuzz[idx]
+        out[:n, 8] = refract[idx]
+        out[:n, 9] = mat[idx]
+        return out
+
+    g_tab = rows(g_idx, 8)
+    n_global_blocks = g_tab.shape[0] // 8
+
+    clu_tabs = []
+    aabbs = []
+    for start in range(0, order.size, cluster_size):
+        idx = order[start:start + cluster_size]
+        clu_tabs.append(rows(idx, cluster_size))
+        lo = (centers[idx] - radii[idx, None]).min(axis=0)
+        hi = (centers[idx] + radii[idx, None]).max(axis=0)
+        aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]]).astype(np.float32))
+    n_clusters = len(clu_tabs)
+    scn = np.concatenate([g_tab] + clu_tabs) if clu_tabs else g_tab
+    clu = (np.stack(aabbs) if aabbs
+           else np.zeros((1, 8), np.float32))
+    slab = np.zeros((1, 8), np.float32)
+    if order.size:
+        slab[0, 0:3] = (centers[order] - radii[order, None]).min(axis=0)
+        slab[0, 3:6] = (centers[order] + radii[order, None]).max(axis=0)
+    return scn, clu, slab, n_global_blocks, n_clusters
+
+
+def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
+                                  n_global_blocks: int, n_clusters: int,
+                                  cluster_size: int):
+    """Dynamic-table consensus-culled intersect (see pack_culled_scene).
+
+    Same cull semantics as :func:`baked_culled_intersect` (Morton leaf
+    clusters, giant-sphere globals, slab-exit cap, dead-lane
+    abstention), different machinery: the per-cluster consensus
+    conditions are computed in one *batched* pass (any() reduces
+    pipeline; ~270 ns each when interleaved) and parked in SMEM, then a
+    ``fori_loop`` walks the clusters gating dynamic 8-sphere block
+    loads on the cheap SMEM scalars — measured 31 Gpairs/s nominal in
+    exp/micro_r2.py (W7), i.e. the when-on-SMEM-scalar pattern carries
+    no vector->scalar stall.
+    """
+    blocks_per_cluster = cluster_size // 8
+    assert cluster_size % 8 == 0
+
+    def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz):
+        for j in range(8):
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+             b_fz, b_io, b_mt) = carry
+            cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b_q = dx * ocx + dy * ocy + dz * ocz
+            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_q * b_q - c_q      # unit directions: a == 1
+            sq = jnp.sqrt(disc)          # NaN when disc < 0
+            nb = -b_q
+            t1 = nb - sq
+            t2 = nb + sq
+            # NaN roots fall through both selects to T_FAR.
+            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            better = t < best_t
+            carry = (
+                jnp.where(better, t, best_t),
+                jnp.where(better, cx, b_cx),
+                jnp.where(better, cy, b_cy),
+                jnp.where(better, cz, b_cz),
+                jnp.where(better, 1.0 / r, b_ir),
+                jnp.where(better, blk[j, 4], b_ar),
+                jnp.where(better, blk[j, 5], b_ag),
+                jnp.where(better, blk[j, 6], b_ab),
+                jnp.where(better, blk[j, 7], b_fz),
+                jnp.where(better, blk[j, 8], b_io),
+                jnp.where(better, blk[j, 9], b_mt),
+            )
+        return carry
+
+    def intersect(ox, oy, oz, dx, dy, dz, alive=None):
+        f32 = jnp.float32
+        shape = ox.shape
+        idx_ = 1.0 / dx
+        idy_ = 1.0 / dy
+        idz_ = 1.0 / dz
+
+        def box_range(lo, hi):
+            tx0 = (lo[0] - ox) * idx_
+            tx1 = (hi[0] - ox) * idx_
+            tmin = jnp.minimum(tx0, tx1)
+            tmax = jnp.maximum(tx0, tx1)
+            ty0 = (lo[1] - oy) * idy_
+            ty1 = (hi[1] - oy) * idy_
+            tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+            tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+            tz0 = (lo[2] - oz) * idz_
+            tz1 = (hi[2] - oz) * idz_
+            tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+            return tmin, tmax
+
+        init = (
+            jnp.full(shape, T_FAR, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.ones(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.ones(shape, f32), jnp.zeros(shape, f32),
+        )
+
+        # Globals (giant spheres): always tested, establishes best_t.
+        def g_step(k, carry):
+            blk = scn_ref[pl.ds(k * 8, 8), :]
+            return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz)
+
+        carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
+        if n_clusters == 0:
+            return carry + (jnp.zeros(shape, f32), jnp.zeros(shape, f32))
+
+        srow = slab_ref[0]
+        s_min, s_max = box_range((srow[0], srow[1], srow[2]),
+                                 (srow[3], srow[4], srow[5]))
+        t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
+                           jnp.float32(-1.0))
+        if alive is not None:
+            t_exit = jnp.where(alive, t_exit, -1.0)
+        g_rows = n_global_blocks * 8
+
+        def body(*refs):
+            cond_ref = refs[12]
+            for ref, val in zip(refs[:11], carry):
+                ref[:] = val
+            t_ref = refs[0]
+            clu_cnt = refs[11]
+            clu_cnt[:] = jnp.zeros(shape, f32)
+
+            # Batched cond pass -> SMEM (any() reduces pipeline here).
+            cap = jnp.minimum(t_ref[:], t_exit)
+            for c in range(n_clusters):
+                row = clu_ref[c]
+                c_min, c_max = box_range((row[0], row[1], row[2]),
+                                         (row[3], row[4], row[5]))
+                live = ((c_min <= c_max) & (c_max > T_MIN)
+                        & (jnp.maximum(c_min, 0.0) < cap))
+                cond_ref[c] = jnp.any(live).astype(jnp.int32)
+
+            def cluster_step(k, x):
+                @pl.when(cond_ref[k] > 0)
+                def _():
+                    clu_cnt[:] = clu_cnt[:] + 1.0
+                    vals = tuple(r[:] for r in refs[:11])
+                    for b in range(blocks_per_cluster):
+                        blk = scn_ref[
+                            pl.ds(g_rows + k * cluster_size + b * 8, 8), :]
+                        vals = sphere_block(blk, vals, ox, oy, oz,
+                                            dx, dy, dz)
+                    for ref, val in zip(refs, vals):
+                        ref[:] = val
+                return x
+
+            jax.lax.fori_loop(0, n_clusters, cluster_step, jnp.float32(0))
+            return (tuple(r[:] for r in refs[:12])
+                    + (jnp.zeros(shape, f32),))
+
+        out = pl.run_scoped(
+            body,
+            *[pltpu.VMEM(shape, jnp.float32) for _ in range(12)],
+            pltpu.SMEM((n_clusters,), jnp.int32),
+        )
+        # (11 fields, clusters_entered, zeros) -> interface order
+        # (..., supers_entered=0, clusters_entered).
+        return out[:11] + (out[12], out[11])
+
+    intersect.returns_cull_stats = True
+    intersect.n_supers = 0
+    intersect.n_clusters = n_clusters
+    return intersect
+
+
 def make_persistent_tile(intersect_fn=None):
     """Build the persistent-lane kernel.
 
@@ -1054,6 +1274,62 @@ def fused_render_baked(
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
     )(
+        jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
+        jnp.reshape(cam_params.astype(f32), (1, 24)),
+        pix, xs, ys, valid, soff,
+    )
+    return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_global_blocks", "n_clusters", "cluster_size",
+                     "rows", "interpret"),
+)
+def fused_render_dynculled(
+    scn, clu, slab,     # pack_culled_scene tables (VMEM inputs)
+    salts,              # (4,) u32
+    cam_params,         # (24,) f32
+    pix, xs, ys, valid, soff,  # (rows_total, 128)
+    n_global_blocks: int = 1,
+    n_clusters: int = 0,
+    cluster_size: int = 16,
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """Persistent-lane render with the dynamic consensus-culled
+    intersector: scene/cluster tables are runtime inputs, so new scenes
+    of the same structure reuse this compilation."""
+    total_rows = pix.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+
+    tile_spec = pl.BlockSpec((rows, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+
+    def kernel(scn_ref, clu_ref, slab_ref, salt_ref, cam_ref,
+               px_ref, xs_ref, ys_ref, valid_ref, soff_ref,
+               rad_r_o, rad_g_o, rad_b_o, rays_o):
+        intersect = make_dynamic_culled_intersect(
+            scn_ref, clu_ref, slab_ref, n_global_blocks, n_clusters,
+            cluster_size)
+        _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
+                         ys_ref, valid_ref, soff_ref,
+                         rad_r_o, rad_g_o, rad_b_o, rays_o)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full, full, full, smem_i, full,
+                  tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
+        interpret=interpret,
+    )(
+        scn, clu, slab,
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
         pix, xs, ys, valid, soff,
