@@ -47,7 +47,7 @@ def _leaf_sphere_t(origin, direction, centers, radii, first, k):
 
     Quadratic identical to the brute-force intersector (extend.wgsl:185-210).
     """
-    idx = first + k
+    idx = first + k  # callers may pre-add and pass k=0
     c = centers[idx]
     r = radii[idx]
     oc = origin - c
@@ -112,13 +112,11 @@ def intersect_bvh(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf_size",))
-def _intersect_bvh_impl(
-    origin, direction,
-    centers, radii,
-    bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
-    max_leaf_size: int = 4,
-):
+def _traverse(leaf_t, origin, direction,
+              bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
+              max_leaf_size: int):
+    """Shared lockstep traversal; ``leaf_t(k_idx)`` returns the k-th
+    leaf primitive's closest valid t (T_FAR on miss)."""
     n = origin.shape[0]
     inv_dir = 1.0 / direction
 
@@ -140,14 +138,15 @@ def _intersect_bvh_impl(
         is_leaf = pc > 0
 
         # --- leaf: masked fixed-width primitive tests ---
-        leaf_t, leaf_idx = best_t, best_idx
+        lt, lidx = best_t, best_idx
         for k in range(max_leaf_size):
-            t_k, idx_k = _leaf_sphere_t(origin, direction, centers, radii, lf, jnp.int32(k))
-            valid = is_leaf & ~done & (k < pc) & (t_k < leaf_t)
-            leaf_t = jnp.where(valid, t_k, leaf_t)
-            leaf_idx = jnp.where(valid, idx_k, leaf_idx)
-        best_t = leaf_t
-        best_idx = leaf_idx
+            idx_k = lf + jnp.int32(k)
+            t_k = leaf_t(idx_k)
+            valid = is_leaf & ~done & (k < pc) & (t_k < lt)
+            lt = jnp.where(valid, t_k, lt)
+            lidx = jnp.where(valid, idx_k, lidx)
+        best_t = lt
+        best_idx = lidx
 
         # --- internal: order children near-first, push far ---
         left = lf
@@ -184,3 +183,37 @@ def _intersect_bvh_impl(
     done, node, sp, stack, best_t, best_idx = jax.lax.while_loop(cond, body, state)
     hit = best_t < T_FAR
     return best_t, best_idx, hit
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf_size",))
+def _intersect_bvh_impl(
+    origin, direction,
+    centers, radii,
+    bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
+    max_leaf_size: int = 4,
+):
+    def leaf_t(idx):
+        t, _ = _leaf_sphere_t(origin, direction, centers, radii, idx,
+                              jnp.int32(0))
+        return t
+
+    return _traverse(leaf_t, origin, direction, bvh_min, bvh_max,
+                     bvh_left_first, bvh_prim_count, max_leaf_size)
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf_size",))
+def intersect_bvh_triangles(
+    origin, direction,
+    v0, e1, e2,
+    bvh_min, bvh_max, bvh_left_first, bvh_prim_count,
+    max_leaf_size: int = 4,
+):
+    """Nearest triangle hit via BVH (tables in BVH order); same contract
+    as ``ops.triangle.intersect_triangles``: (t, tri_idx, hit)."""
+    from wavefront_path_tracer_tpu.ops.triangle import triangle_t
+
+    def leaf_t(idx):
+        return triangle_t(origin, direction, v0[idx], e1[idx], e2[idx])
+
+    return _traverse(leaf_t, origin, direction, bvh_min, bvh_max,
+                     bvh_left_first, bvh_prim_count, max_leaf_size)

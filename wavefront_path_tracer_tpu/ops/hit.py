@@ -75,10 +75,27 @@ def intersect_and_resolve(origin, direction, scene_arrays, config):
         )
 
     if "tri_v0" in scene_arrays:
-        t_t, tri_idx, hit_t = intersect_triangles(
-            origin, direction,
-            scene_arrays["tri_v0"], scene_arrays["tri_e1"], scene_arrays["tri_e2"],
-        )
+        if "tri_bvh_min" in scene_arrays:
+            from wavefront_path_tracer_tpu.ops.bvh_traverse import (
+                intersect_bvh_triangles,
+            )
+            from wavefront_path_tracer_tpu.scene.bvh import MAX_LEAF_SIZE
+
+            t_t, tri_idx, hit_t = intersect_bvh_triangles(
+                origin, direction,
+                scene_arrays["tri_v0"], scene_arrays["tri_e1"],
+                scene_arrays["tri_e2"],
+                scene_arrays["tri_bvh_min"], scene_arrays["tri_bvh_max"],
+                scene_arrays["tri_bvh_left_first"],
+                scene_arrays["tri_bvh_prim_count"],
+                max_leaf_size=MAX_LEAF_SIZE,
+            )
+        else:
+            t_t, tri_idx, hit_t = intersect_triangles(
+                origin, direction,
+                scene_arrays["tri_v0"], scene_arrays["tri_e1"],
+                scene_arrays["tri_e2"],
+            )
         use_tri = t_t < t
         t = jnp.where(use_tri, t_t, t)
         hit = hit | hit_t

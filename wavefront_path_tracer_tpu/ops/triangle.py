@@ -46,6 +46,28 @@ def _tri_hit_t(origin, direction, v0, e1, e2):
     return jnp.where(valid, t, T_FAR)
 
 
+def triangle_t(origin, direction, v0, e1, e2):
+    """Per-lane hit parameter for ONE triangle per ray, or T_FAR.
+
+    origin/direction: (N, 3); v0/e1/e2: (N, 3) — gathered per lane (the
+    BVH leaf-test shape).  Two-sided.
+    """
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > _EPS_DET, 1.0 / det, 0.0)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > _EPS_DET)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > T_MIN)
+    )
+    return jnp.where(valid, t, T_FAR)
+
+
 @functools.partial(jax.jit, static_argnames=("tri_chunk",))
 def intersect_triangles(origin, direction, v0, e1, e2, tri_chunk: int = 128):
     """Nearest triangle hit; returns (t (N,), tri_idx (N,) i32, hit (N,))."""

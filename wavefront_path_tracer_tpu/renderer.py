@@ -60,6 +60,35 @@ def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
     if triangles is not None and triangles.num_triangles > 0:
         from wavefront_path_tracer_tpu.ops.triangle import triangle_normals
 
+        if config.intersector == "bvh":
+            # BVH over triangle AABBs (the generalized builder), with
+            # the triangle tables reordered to BVH order like spheres.
+            from wavefront_path_tracer_tpu.ops.bvh_traverse import (
+                STACK_DEPTH, _flat_depth)
+            from wavefront_path_tracer_tpu.scene.bvh import (
+                build_flat_bvh_aabb)
+
+            verts = np.stack([
+                np.asarray(triangles.v0),
+                np.asarray(triangles.v0) + np.asarray(triangles.e1),
+                np.asarray(triangles.v0) + np.asarray(triangles.e2),
+            ], axis=1)
+            tbvh, tperm = build_flat_bvh_aabb(
+                verts.min(axis=1), verts.max(axis=1))
+            tdepth = _flat_depth(tbvh.left_first, tbvh.prim_count)
+            if tdepth > STACK_DEPTH:
+                raise ValueError(
+                    f"triangle BVH depth {tdepth} exceeds the traversal "
+                    f"stack ({STACK_DEPTH})")
+            triangles = type(triangles)(*[
+                np.asarray(t)[tperm] for t in triangles])
+            extra.update({
+                "tri_bvh_min": jnp.asarray(tbvh.aabb_min),
+                "tri_bvh_max": jnp.asarray(tbvh.aabb_max),
+                "tri_bvh_left_first": jnp.asarray(tbvh.left_first),
+                "tri_bvh_prim_count": jnp.asarray(tbvh.prim_count),
+            })
+
         e1 = jnp.asarray(triangles.e1)
         e2 = jnp.asarray(triangles.e2)
         extra.update({

@@ -97,23 +97,28 @@ def _best_split(centers, lo_all, hi_all, node_lo, node_hi, bins: int):
     return best
 
 
-def build_flat_bvh(
-    centers: np.ndarray,
-    radii: np.ndarray,
+def build_flat_bvh_aabb(
+    lo_all: np.ndarray,
+    hi_all: np.ndarray,
+    centers: np.ndarray | None = None,
     bins: int = 64,
     max_leaf_size: int = MAX_LEAF_SIZE,
 ):
-    """Build over (centers, radii); returns (FlatBVH, permutation).
+    """Build over per-primitive AABBs (any primitive type — spheres,
+    triangles, instances); returns (FlatBVH, permutation).
 
+    ``centers`` are the binning keys (default: box centroids; sphere
+    callers pass true centers, identical for spheres).
     ``permutation[i]`` is the original index of the i-th primitive in
-    BVH order; apply it to all per-sphere tables.
+    BVH order; apply it to all per-primitive tables.
     """
-    n = centers.shape[0]
+    lo_all = np.asarray(lo_all, np.float32).copy()
+    hi_all = np.asarray(hi_all, np.float32).copy()
+    n = lo_all.shape[0]
+    if centers is None:
+        centers = (lo_all + hi_all) * 0.5
     centers = np.asarray(centers, np.float32).copy()
-    radii = np.asarray(radii, np.float32).copy()
     perm = np.arange(n)
-    lo_all = centers - radii[:, None]
-    hi_all = centers + radii[:, None]
 
     aabb_min, aabb_max, left_first, prim_count = [], [], [], []
 
@@ -163,7 +168,6 @@ def build_flat_bvh(
         centers[sl] = c[order]
         lo_all[sl] = lo[order]
         hi_all[sl] = hi[order]
-        radii[sl] = radii[sl][order]
         perm[sl] = perm[sl][order]
 
         n_left = int(mask.sum())
@@ -182,6 +186,21 @@ def build_flat_bvh(
         prim_count=np.array(prim_count, np.int32),
     )
     return bvh, perm
+
+
+def build_flat_bvh(
+    centers: np.ndarray,
+    radii: np.ndarray,
+    bins: int = 64,
+    max_leaf_size: int = MAX_LEAF_SIZE,
+):
+    """Sphere wrapper over :func:`build_flat_bvh_aabb`."""
+    centers = np.asarray(centers, np.float32)
+    radii = np.asarray(radii, np.float32)
+    return build_flat_bvh_aabb(
+        centers - radii[:, None], centers + radii[:, None], centers,
+        bins=bins, max_leaf_size=max_leaf_size,
+    )
 
 
 def build_bvh(scene: Scene, bins: int = 64,
