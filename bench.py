@@ -120,9 +120,11 @@ def main() -> None:
                 # dispatch trips the device watchdog, so give them a
                 # smaller (rate-equivalent) sample budget.
                 spp = args.spp if engine == "fused" else max(1, args.spp // 8)
+                clusters = args.clusters if engine == "fused" else 0
                 try:
                     r = bench_once(args.scene, args.width, args.height, spp,
-                                   engine, intersector, args.max_bounces)
+                                   engine, intersector, args.max_bounces,
+                                   clusters=clusters)
                 except Exception as e:  # keep sweeping
                     print(f"{engine}/{intersector}: FAILED {e}", file=sys.stderr)
                     continue

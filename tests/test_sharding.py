@@ -138,3 +138,19 @@ def test_multihost_dryrun():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"process {i}: OK" in out
+
+
+def test_sharded_fused_dynamic_culled():
+    """The dynamic-culled intersector works under shard_map (tables
+    closure-captured, replicated)."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=96, seed=3)
+    cfg = CFG.replace(engine="fused", intersector="bruteforce",
+                      baked_clusters=8)
+    cc = _camera()
+    single = render(scene, cc, cfg)
+    mesh = make_mesh(4, sample_axis=1)
+    rad = _sharded(scene, cc, cfg, mesh)
+    d = np.abs(rad - single.accumulated.reshape(-1, 3)).max(axis=-1)
+    assert (d > 1e-3).mean() < 0.01

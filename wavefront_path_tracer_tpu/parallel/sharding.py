@@ -86,13 +86,23 @@ def render_samples_sharded(
     samples_per_shard = n_samples // n_sample_shards
     pixels_per_tile = shard_pixels(config, n_tiles)
 
-    # Baked kernels must be built from *concrete* scene data, outside the
-    # shard_map trace.
+    # Baked kernels / culling tables must be built from *concrete*
+    # scene data, outside the shard_map trace.
     baked_fn = None
+    dyn = None
+    dyn_static = None
     if config.engine == "fused" and config.intersector == "baked":
         from wavefront_path_tracer_tpu.models.fused import _baked_fn
 
         baked_fn = _baked_fn(scene_arrays, config.baked_clusters)
+    elif (config.engine == "fused" and config.intersector == "bruteforce"
+          and config.baked_clusters > 0 and "tri_v0" not in scene_arrays):
+        from wavefront_path_tracer_tpu.models.fused import _dyn_tables
+
+        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
+                                               config.baked_clusters)
+        dyn = (scn, clu, slab)   # closure-captured, replicated
+        dyn_static = (ngb, ncl, config.baked_clusters)
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the
@@ -109,6 +119,7 @@ def render_samples_sharded(
                 frame, base, samples_per_shard, baked_fn,
                 lane_split=_effective_split(config.lane_split,
                                             samples_per_shard),
+                dyn_tables=dyn, dyn_static=dyn_static,
             )
         else:
             if config.engine == "megakernel":
