@@ -202,7 +202,10 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"live preview: open {html}", file=sys.stderr)
 
+    from wavefront_path_tracer_tpu.utils.profiling import RenderStats
+
     fps = FramesPerSecond()
+    stats = RenderStats(pixels=cfg.num_pixels)
     t_start = time.perf_counter()
     result = None
     first_frame = True
@@ -219,6 +222,9 @@ def main(argv=None) -> int:
             break
         result = r
         fps.update()
+        stats.rays_traced += r.rays_traced
+        stats.seconds += r.wall_time_s
+        stats.samples = r.samples
         if args.preview:
             write_png(args.preview, r.image)
         if args.preview_term:
@@ -262,7 +268,7 @@ def main(argv=None) -> int:
         total = time.perf_counter() - t_start
         print(
             f"wrote {args.out}: {cfg.width}x{cfg.height} @ {result.samples} spp "
-            f"in {total:.1f}s", file=sys.stderr,
+            f"in {total:.1f}s  [{stats.report()}]", file=sys.stderr,
         )
     return 0
 

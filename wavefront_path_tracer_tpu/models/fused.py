@@ -240,10 +240,19 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     exist; these are the measured quantities that do)."""
     baked_fn = (_baked_fn(scene_arrays, config.baked_clusters)
                 if config.intersector == "baked" else None)
+    dyn = None
+    dyn_static = None
+    if (baked_fn is None and config.baked_clusters > 0
+            and "tri_v0" not in scene_arrays):
+        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
+                                               config.baked_clusters)
+        dyn = (scn, clu, slab)
+        dyn_static = (ngb, ncl, config.baked_clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,
         lane_split=_effective_split(config.lane_split, n_samples),
+        dyn_tables=dyn, dyn_static=dyn_static,
     )
 
 
