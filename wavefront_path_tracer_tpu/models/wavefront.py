@@ -118,13 +118,24 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
     rays_traced = jnp.int32(0)
 
     def cond(state):
-        bounce, count = state[0], state[1]
-        active = count > config.drain_threshold if config.drain_threshold else count > 0
+        bounce, count, last_missed = state[0], state[1], state[2]
+        if config.drain_threshold:
+            # The reference's lossy drain heuristic gates on the MISS
+            # count of the previous bounce (`num_misses < 128` breaks,
+            # path_tracer.rs:330-332) — not on the live count.  Less
+            # lossy than the reference in one respect: our current
+            # bounce's misses were already sky-shaded before the break
+            # (the reference discards them entirely, SURVEY.md §8 bug 2).
+            active = ((count > 0)
+                      & ((bounce == 0)
+                         | (last_missed >= config.drain_threshold)))
+        else:
+            active = count > 0  # exact termination (default)
         return (bounce < config.max_bounces) & active
 
     def body(state):
-        (bounce, count, q_pixel, q_slot, q_origin, q_dir, q_throughput,
-         radiance, rays_traced) = state
+        (bounce, count, last_missed, q_pixel, q_slot, q_origin, q_dir,
+         q_throughput, radiance, rays_traced) = state
         rays_traced = rays_traced + count
         live = lane < count
 
@@ -172,13 +183,14 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         q_origin = q_origin[order]
         q_dir = q_dir[order]
         q_throughput = q_throughput[order]
-        return (bounce + 1, new_count, q_pixel, q_slot, q_origin, q_dir,
-                q_throughput, radiance, rays_traced)
+        n_missed = jnp.sum(missed.astype(jnp.int32))
+        return (bounce + 1, new_count, n_missed, q_pixel, q_slot, q_origin,
+                q_dir, q_throughput, radiance, rays_traced)
 
-    state = (jnp.int32(0), jnp.int32(n), q_pixel, q_slot, q_origin, q_dir,
-             q_throughput, radiance, rays_traced)
+    state = (jnp.int32(0), jnp.int32(n), jnp.int32(0), q_pixel, q_slot,
+             q_origin, q_dir, q_throughput, radiance, rays_traced)
     state = jax.lax.while_loop(cond, body, state)
-    return state[7], state[8]
+    return state[8], state[9]
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "config"))

@@ -48,8 +48,10 @@ class RenderConfig:
     lane_split: int = 1
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
-    # Exact termination instead of the reference's lossy `misses < 128`
-    # early break (path_tracer.rs:330-332) — kept as a knob for A/B.
+    # Exact termination (0, default) vs the reference's lossy early
+    # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
+    # stops once a bounce produces fewer than N misses — the reference's
+    # exact quantity (its literal is 128).
     drain_threshold: int = 0
 
     @property
