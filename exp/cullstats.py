@@ -47,7 +47,8 @@ def main():
     inv_proj = jnp.asarray(cc.inverse_projection(cfg.width, cfg.height))
     cam = cc.gpu_camera()
 
-    baked = _baked_fn(arrays, args.clusters)
+    baked = _baked_fn(arrays, args.clusters,
+                      camera_pos=np.asarray(cc.view_matrix())[:3, 3])
     n_sup = getattr(baked, "n_supers", 0)
     n_clu = getattr(baked, "n_clusters", 0)
     print(f"hierarchy: {n_sup} supers, {n_clu} clusters of {args.clusters}")

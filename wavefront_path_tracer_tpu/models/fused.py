@@ -110,8 +110,20 @@ def _plane(x, rows_total):
     return x.reshape(rows_total, _LANES)
 
 
-def _baked_fn(scene_arrays, clusters: int = 0):
+def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
     centers = np.asarray(scene_arrays["centers"])
+    # Front-to-back cluster ordering hint (perf only — a stale order is
+    # still correct).  Quantized to 1/8 of the scene extent for the
+    # cache key, so small camera moves reuse the baked kernel instead
+    # of paying a rebake.
+    hint_key = None
+    if camera_pos is not None and clusters > 0:
+        camera_pos = np.asarray(camera_pos, np.float64).reshape(3)
+        diag = float(np.linalg.norm(
+            centers.max(axis=0) - centers.min(axis=0))) if len(centers) else 1.0
+        quant = max(diag, 1e-6) / 8.0
+        hint_key = tuple(np.round(camera_pos / quant).astype(np.int64).tolist())
+        camera_pos = np.asarray(hint_key, np.float64) * quant
     triangles = None
     tri_key = 0
     if "tri_v0" in scene_arrays:
@@ -149,7 +161,7 @@ def _baked_fn(scene_arrays, clusters: int = 0):
                   "mat_type")
         if k in scene_arrays
     ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
-    key = (centers.shape[0], sphere_key, tri_key, clusters)
+    key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         args = (
@@ -162,7 +174,8 @@ def _baked_fn(scene_arrays, clusters: int = 0):
         )
         if clusters > 0:
             fn = baked_culled_intersect(*args, cluster_size=clusters,
-                                        triangles=triangles, tex=tex)
+                                        triangles=triangles, tex=tex,
+                                        camera_hint=camera_pos)
         else:
             fn = baked_intersect(*args, triangles=triangles, tex=tex)
         _BAKED_CACHE[key] = fn
@@ -171,6 +184,18 @@ def _baked_fn(scene_arrays, clusters: int = 0):
     else:
         _BAKED_CACHE.move_to_end(key)
     return fn
+
+
+def _concrete_eye(view):
+    """World-space eye position from the view matrix, or None when the
+    matrix is a tracer (e.g. under shard_map) and no concrete value
+    exists at bake time."""
+    if isinstance(view, jax.core.Tracer):
+        return None
+    try:
+        return np.asarray(view)[:3, 3]
+    except Exception:  # e.g. a non-addressable multi-host global array
+        return None
 
 
 def _effective_split(requested: int, n_samples: int) -> int:
@@ -194,7 +219,9 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     if config.intersector == "baked":
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
-            n_samples, baked_fn=_baked_fn(scene_arrays, config.baked_clusters),
+            n_samples,
+            baked_fn=_baked_fn(scene_arrays, config.baked_clusters,
+                               camera_pos=_concrete_eye(view)),
             lane_split=split,
         )
     if "tex_kind" in scene_arrays and config.intersector != "baked":
@@ -238,7 +265,8 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     tiles — the fused analog of the reference's per-kernel observability
     (its five kernels are one Pallas call here, so stage wall-µs don't
     exist; these are the measured quantities that do)."""
-    baked_fn = (_baked_fn(scene_arrays, config.baked_clusters)
+    baked_fn = (_baked_fn(scene_arrays, config.baked_clusters,
+                          camera_pos=_concrete_eye(view))
                 if config.intersector == "baked" else None)
     dyn = None
     dyn_static = None

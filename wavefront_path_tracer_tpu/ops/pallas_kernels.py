@@ -51,6 +51,13 @@ _SAMPLE_STRIDE = 0x9E3779B9
 _BOUNCE_STRIDE = 0x85EBCA6B
 
 
+# Perf-probe flags (exp/iterprobe.py): trace-time duplication of one
+# pipeline component to measure its share of the iteration cost.
+# Always empty in production; duplicated components are idempotent so
+# images are unchanged.
+PROBE: frozenset = frozenset()
+
+
 def _u32(x):
     return jnp.uint32(x)
 
@@ -155,20 +162,21 @@ def _shade_tile(pix, frame, sample, bounce,
     base = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, pix.shape)))
     state = _jenkins(base + sample * _u32(_SAMPLE_STRIDE)
                      + (bounce + _u32(1)) * _u32(_BOUNCE_STRIDE))
-    state, u1 = _next_f32(state)
+    state, _ = _pcg_next(state)   # ball-radius draw: consumed, unused —
+    # every engine normalizes the sphere sample (ops/bsdf.py _draws), so
+    # the cbrt radius cancels; only the stream position must advance.
     state, u2 = _next_f32(state)
     state, u3 = _next_f32(state)
     state, r_reflect = _next_f32(state)
 
-    rr = jnp.exp(jnp.log(jnp.maximum(u1, 1e-37)) * jnp.float32(0.33333))
+    # (cos phi, sin phi, cos theta) spherical coords: unit by
+    # construction — no renormalization needed.
     cos_th = 1.0 - 2.0 * u2
     sin_th = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_th * cos_th))
     phi = jnp.float32(2.0 * _PI) * u3
-    sx = rr * sin_th * jnp.cos(phi)
-    sy = rr * sin_th * jnp.sin(phi)
-    sz = rr * cos_th
-    s_norm = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-37))
-    sx, sy, sz = sx * s_norm, sy * s_norm, sz * s_norm
+    sx = sin_th * jnp.cos(phi)
+    sy = sin_th * jnp.sin(phi)
+    sz = cos_th
 
     p_x = ox + best_t * dx
     p_y = oy + best_t * dy
@@ -477,7 +485,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            mat_type, cluster_size: int = 16,
                            super_factor: int = 8,
                            global_radius_factor: float = 10.0,
-                           triangles=None, tex=None):
+                           triangles=None, tex=None,
+                           camera_hint=None, refresh: int = 8):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -509,6 +518,16 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     * Primitives are Morton-ordered (triangles by centroid) so cluster
       AABBs are tight; clusters group ``super_factor``-at-a-time under
       an outer consensus skip when there are many (two-level hierarchy).
+    * **Front-to-back sweep**: with ``camera_hint`` (a world-space eye
+      position), clusters are visited nearest-first (supers likewise;
+      cluster membership stays Morton so boxes stay tight) and the
+      consensus cap is refreshed from the running ``best_t`` every
+      ``refresh`` clusters — a primary ray's first hit then culls
+      everything behind it, the TPU analog of the reference's
+      near-child-first BVH descent (``extend.wgsl:107-125``).  The
+      ordering is a pure perf heuristic: any order returns the same
+      nearest hit, so a stale hint (camera moved since bake) only
+      costs speed.
 
     Returns the 15-tuple interface of :func:`baked_intersect` plus two
     trailing cull-stat planes (supers/clusters entered).  Cull
@@ -555,20 +574,42 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         global_rows = rows(np.arange(centers.shape[0]))
         rest = np.zeros((0,), np.int64)
 
+    def hint_dist(lo, hi):
+        # Squared distance from the camera hint to the nearest point of
+        # the AABB: 0 when the eye is inside the box.
+        p = np.minimum(np.maximum(np.asarray(camera_hint, np.float64),
+                                  lo), hi)
+        return float(np.sum((p - camera_hint) ** 2))
+
     def build_hierarchy(aabb_lo, aabb_hi, items):
-        """Morton-ordered clusters + supers + slab over per-item AABBs."""
+        """Morton-ordered clusters + supers + slab over per-item AABBs.
+
+        Cluster/super *membership* follows Morton order (tight boxes);
+        with a camera hint, the *visit order* is nearest-box-first at
+        both levels (clusters re-sorted within their super)."""
         clusters = []
         for start in range(0, len(items), cluster_size):
             idx = slice(start, start + cluster_size)
-            lo = aabb_lo[idx].min(axis=0).tolist()
-            hi = aabb_hi[idx].max(axis=0).tolist()
-            clusters.append((lo, hi, items[start:start + cluster_size]))
+            lo = aabb_lo[idx].min(axis=0)
+            hi = aabb_hi[idx].max(axis=0)
+            clusters.append((lo.tolist(), hi.tolist(),
+                             items[start:start + cluster_size],
+                             hint_dist(lo, hi) if camera_hint is not None
+                             else float(start)))
         supers = []
         for start in range(0, len(clusters), super_factor):
-            grp = clusters[start:start + super_factor]
-            lo = np.min([c[0] for c in grp], axis=0).tolist()
-            hi = np.max([c[1] for c in grp], axis=0).tolist()
-            supers.append((lo, hi, grp))
+            grp = [c[:3] for c in
+                   sorted(clusters[start:start + super_factor],
+                          key=lambda c: c[3])]
+            lo = np.min([c[0] for c in grp], axis=0)
+            hi = np.max([c[1] for c in grp], axis=0)
+            supers.append((lo.tolist(), hi.tolist(), grp,
+                           hint_dist(lo, hi) if camera_hint is not None
+                           else float(start)))
+        supers.sort(key=lambda s: s[3])
+        clusters.sort(key=lambda c: c[3])
+        clusters = [c[:3] for c in clusters]
+        supers = [s[:3] for s in supers]
         slab = (aabb_lo.min(axis=0).tolist(), aabb_hi.max(axis=0).tolist())
         return clusters, supers, slab
 
@@ -746,6 +787,9 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         def body(*refs):
             for ref, val in zip(refs, carry):
                 ref[:] = val
+            if "dbl_scope" in PROBE:  # perf probe: re-stage the scope
+                for ref in refs[:nf]:
+                    ref[:] = ref[:] * 1.0 + (refs[0][0, 0] * 0.0)
             t_ref = refs[0]
             sup_ref, clu_ref = refs[nf], refs[nf + 1]
             sup_ref[:] = f0
@@ -754,23 +798,49 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             for (clusters, supers, slab), tests in hierarchies:
                 t_exit = slab_exit(slab)
 
-                def run_clusters(grp, cap, tests=tests):
-                    # Batch ALL consensus reduces before any branch: an
-                    # interleaved any()+pl.when costs ~270 ns each
-                    # (vector->scalar pipeline stall, ~12 sphere-tests'
-                    # worth); batched, the reduces pipeline and the
-                    # scalar branches are nearly free.  Conditions use
-                    # the batch-entry best_t — strictly conservative.
-                    conds = [jnp.any(cluster_cond(c_lo, c_hi, cap))
-                             for c_lo, c_hi, _ in grp]
-                    for cond, (c_lo, c_hi, items) in zip(conds, grp):
-                        @pl.when(cond)
-                        def _(items=items, tests=tests):
-                            clu_ref[:] = clu_ref[:] + 1.0
-                            vals = tests(items,
-                                         tuple(r[:] for r in refs[:nf]))
-                            for ref, val in zip(refs, vals):
-                                ref[:] = val
+                def run_clusters(grp, cap=None, tests=tests):
+                    # Software-pipelined consensus, ``refresh`` clusters
+                    # per batch.  An any()+pl.when whose reduce was just
+                    # issued stalls ~270 ns (vector->scalar pipeline);
+                    # so batch k+1's reduces are issued BEFORE batch k's
+                    # cluster tests run — by the time its branches
+                    # execute, the scalars have long retired.  The cap
+                    # each batch sees is therefore one batch stale
+                    # (tightened by hits up to batch k-1); with
+                    # front-to-back ordering a primary hit in an early
+                    # batch still culls everything behind it.
+                    def conds_of(batch, bcap):
+                        if "dbl_cond" in PROBE:   # perf probe only
+                            bcap = bcap + (t_ref[0, 0] * 0.0)
+                            return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
+                                    & jnp.any(cluster_cond(
+                                        c_lo, c_hi, bcap + 1e-30))
+                                    for c_lo, c_hi, _ in batch]
+                        return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
+                                for c_lo, c_hi, _ in batch]
+
+                    batches = [grp[b0:b0 + refresh]
+                               for b0 in range(0, len(grp), refresh)]
+                    cap0 = (jnp.minimum(t_ref[:], t_exit)
+                            if cap is None else cap)
+                    conds = conds_of(batches[0], cap0)
+                    for k, batch in enumerate(batches):
+                        if k + 1 < len(batches):
+                            nxt = conds_of(batches[k + 1],
+                                           jnp.minimum(t_ref[:], t_exit))
+                        for cond, (c_lo, c_hi, items) in zip(conds, batch):
+                            @pl.when(cond)
+                            def _(items=items, tests=tests):
+                                clu_ref[:] = clu_ref[:] + 1.0
+                                vals = tests(items,
+                                             tuple(r[:] for r in refs[:nf]))
+                                if "dbl_entry" in PROBE:  # perf probe:
+                                    # idempotent re-test (same winners)
+                                    vals = tests(items, vals)
+                                for ref, val in zip(refs, vals):
+                                    ref[:] = val
+                        if k + 1 < len(batches):
+                            conds = nxt
 
                 if len(clusters) > 48:
                     cap0 = jnp.minimum(t_ref[:], t_exit)
@@ -1113,6 +1183,12 @@ def _persistent_impl(
         sample = sample_base + soff + s_lane
         gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
             xs, ys, pix, frame, sample, cam_ref)
+        if "dbl_raygen" in PROBE:  # perf probe: CSE-proof recompute
+            g2 = _raygen_tile(xs + (niter * 0.0), ys, pix, frame, sample,
+                              cam_ref)
+            gox, goy, goz, gdx, gdy, gdz = [
+                0.5 * (a + b)
+                for a, b in zip((gox, goy, goz, gdx, gdy, gdz), g2)]
         ox = jnp.where(start, gox, ox)
         oy = jnp.where(start, goy, oy)
         oz = jnp.where(start, goz, oz)
@@ -1153,6 +1229,14 @@ def _persistent_impl(
             pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
             *tri_fields)
+        if "dbl_shade" in PROBE:  # perf probe: CSE-proof recompute
+            s2 = _shade_tile(
+                pix, frame, sample, bounce, ox + (niter * 0.0), oy, oz,
+                dx, dy, dz, best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz,
+                b_ior, b_mt, *tri_fields)
+            (p_x, p_y, p_z, ndx, ndy, ndz) = [
+                0.5 * (a + b)
+                for a, b in zip((p_x, p_y, p_z, ndx, ndy, ndz), s2)]
 
         if tex_fields is not None:
             # Checker texture at the hit point (ops/texture.py formula;

@@ -92,9 +92,11 @@ def render_samples_sharded(
     dyn = None
     dyn_static = None
     if config.engine == "fused" and config.intersector == "baked":
-        from wavefront_path_tracer_tpu.models.fused import _baked_fn
+        from wavefront_path_tracer_tpu.models.fused import (
+            _baked_fn, _concrete_eye)
 
-        baked_fn = _baked_fn(scene_arrays, config.baked_clusters)
+        baked_fn = _baked_fn(scene_arrays, config.baked_clusters,
+                             camera_pos=_concrete_eye(view))
     elif (config.engine == "fused" and config.intersector == "bruteforce"
           and config.baked_clusters > 0 and "tri_v0" not in scene_arrays):
         from wavefront_path_tracer_tpu.models.fused import _dyn_tables
