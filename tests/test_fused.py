@@ -131,3 +131,32 @@ def test_dynamic_culled_matches_unculled():
     plain = render(scene, _cover_camera(), cfg)
     culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
     _statistically_equal(culled, plain)
+
+
+def test_dynamic_culled_triangles_match_oracle():
+    """Dynamic-culled triangles (VMEM tables, no per-scene bake) vs the
+    XLA megakernel oracle — OBJ scenes get culling without bake latency."""
+    from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+    scene, tris = mesh_terrain_scene(n_quads=5, seed=2)
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    ref = render(scene, _cover_camera(), cfg.replace(engine="megakernel"),
+                 triangles=tris)
+    dyn = render(scene, _cover_camera(),
+                 cfg.replace(engine="fused", intersector="bruteforce",
+                             baked_clusters=8), triangles=tris)
+    _statistically_equal(dyn, ref)
+
+
+def test_dynamic_culled_triangles_match_baked():
+    """Dynamic-culled and baked-culled triangle intersectors agree."""
+    from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
+
+    scene, tris = mesh_terrain_scene(n_quads=6, seed=1)
+    cfg = BASE.replace(engine="fused", samples_per_pixel=2,
+                       samples_per_frame=2, baked_clusters=8)
+    baked = render(scene, _cover_camera(), cfg.replace(intersector="baked"),
+                   triangles=tris)
+    dyn = render(scene, _cover_camera(),
+                 cfg.replace(intersector="bruteforce"), triangles=tris)
+    _statistically_equal(dyn, baked)

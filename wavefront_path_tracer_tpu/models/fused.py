@@ -62,17 +62,34 @@ _BAKED_CACHE: OrderedDict = OrderedDict()
 _DYN_CACHE: OrderedDict = OrderedDict()
 
 
-def _dyn_tables(scene_arrays, cluster_size: int):
+def _dyn_tables(scene_arrays, cluster_size: int, camera_pos=None):
+    # The visit order lives in the tables (cheap to re-pack, no
+    # recompile), so the camera hint is quantized only to keep this
+    # cache from thrashing on tiny moves.
+    hint_key = None
+    if camera_pos is not None:
+        centers = np.asarray(scene_arrays["centers"])
+        diag = float(np.linalg.norm(
+            centers.max(axis=0) - centers.min(axis=0))) if len(centers) else 1.0
+        quant = max(diag, 1e-6) / 8.0
+        hint_key = tuple(np.round(
+            np.asarray(camera_pos, np.float64).reshape(3) / quant
+        ).astype(np.int64).tolist())
+        camera_pos = np.asarray(hint_key, np.float64) * quant
     key = (hash(b"".join(
         np.asarray(scene_arrays[k]).tobytes()
         for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
-                  "mat_type"))), cluster_size)
+                  "mat_type", "tri_v0", "tri_e1", "tri_e2", "tri_albedo",
+                  "tri_fuzz", "tri_refract", "tri_mat_type")
+        if k in scene_arrays)), cluster_size, hint_key)
     hit = _DYN_CACHE.get(key)
     if hit is None:
-        scn, clu, slab, ngb, ncl = pack_culled_scene(
-            scene_arrays, cluster_size=cluster_size)
-        hit = (jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(slab),
-               ngb, ncl)
+        (scn, clu, slab, tri, tri_clu, tri_slab,
+         ngb, ncl, ntc) = pack_culled_scene(
+            scene_arrays, cluster_size=cluster_size, camera_hint=camera_pos)
+        hit = ((jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(slab),
+                jnp.asarray(tri), jnp.asarray(tri_clu),
+                jnp.asarray(tri_slab)), (ngb, ncl, ntc))
         _DYN_CACHE[key] = hit
         while len(_DYN_CACHE) > _BAKED_CACHE_MAX:
             _DYN_CACHE.popitem(last=False)
@@ -238,18 +255,19 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             "baked_clusters culling) or 'bruteforce' (dynamic VMEM table); "
             "'bvh' exists only on the wavefront/megakernel engines"
         )
-    if "tri_v0" in scene_arrays:
+    if "tri_v0" in scene_arrays and config.baked_clusters <= 0:
         raise NotImplementedError(
-            "the fused engine traces triangles only with "
-            "intersector='baked' (the dynamic VMEM kernel is spheres-only)"
+            "the fused engine traces triangles with intersector='baked' "
+            "or with the dynamic culled path (baked_clusters > 0); the "
+            "plain dynamic VMEM kernel is spheres-only"
         )
     dyn = None
     dyn_static = None
     if config.baked_clusters > 0:
-        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
-                                               config.baked_clusters)
-        dyn = (scn, clu, slab)
-        dyn_static = (ngb, ncl, config.baked_clusters)
+        dyn, (ngb, ncl, ntc) = _dyn_tables(
+            scene_arrays, config.baked_clusters,
+            camera_pos=_concrete_eye(view))
+        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=None, lane_split=split,
@@ -270,12 +288,11 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
                 if config.intersector == "baked" else None)
     dyn = None
     dyn_static = None
-    if (baked_fn is None and config.baked_clusters > 0
-            and "tri_v0" not in scene_arrays):
-        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
-                                               config.baked_clusters)
-        dyn = (scn, clu, slab)
-        dyn_static = (ngb, ncl, config.baked_clusters)
+    if baked_fn is None and config.baked_clusters > 0:
+        dyn, (ngb, ncl, ntc) = _dyn_tables(
+            scene_arrays, config.baked_clusters,
+            camera_pos=_concrete_eye(view))
+        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,
@@ -359,11 +376,11 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rows=tile_rows, interpret=interpret,
         )
     elif dyn_tables is not None:
-        ngb, ncl, csize = dyn_static
+        ngb, ncl, ntc, csize = dyn_static
         rad_r, rad_g, rad_b, rays = fused_render_dynculled(
             *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
-            n_global_blocks=ngb, n_clusters=ncl, cluster_size=csize,
-            rows=tile_rows, interpret=interpret,
+            n_global_blocks=ngb, n_clusters=ncl, n_tri_clusters=ntc,
+            cluster_size=csize, rows=tile_rows, interpret=interpret,
         )
     else:
         scene_packed = pack_scene(scene_arrays)

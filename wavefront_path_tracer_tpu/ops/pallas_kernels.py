@@ -486,7 +486,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            super_factor: int = 8,
                            global_radius_factor: float = 10.0,
                            triangles=None, tex=None,
-                           camera_hint=None, refresh: int = 8):
+                           camera_hint=None, refresh: int = 16):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -653,7 +653,10 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
 
-        def sphere_tests(sph, carry):
+        def sphere_tests(sph, carry, ox=ox, oy=oy, oz=oz):
+            # The ray-origin override args exist only for the perf
+            # probe (a traced-zero shift defeats CSE so the quadratic
+            # fully recomputes); production calls use the defaults.
             # Issue-rate-slimmed quadratic (the VPU executes ~1 vector
             # op/cycle, so every op is wall time): directions are unit
             # by construction in the fused kernel (raygen and shade both
@@ -816,6 +819,15 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                     & jnp.any(cluster_cond(
                                         c_lo, c_hi, bcap + 1e-30))
                                     for c_lo, c_hi, _ in batch]
+                        if "dbl_cond2" in PROBE:  # perf probe: full box
+                            # math recomputed (CSE-proof traced-zero
+                            # shift of the box corners).
+                            z = t_ref[0, 0] * 0.0
+                            return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
+                                    & jnp.any(cluster_cond(
+                                        [l + z for l in c_lo],
+                                        [h + z for h in c_hi], bcap))
+                                    for c_lo, c_hi, _ in batch]
                         return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
                                 for c_lo, c_hi, _ in batch]
 
@@ -837,6 +849,14 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                 if "dbl_entry" in PROBE:  # perf probe:
                                     # idempotent re-test (same winners)
                                     vals = tests(items, vals)
+                                if ("dbl_entry2" in PROBE
+                                        and tests is sphere_tests):
+                                    # CSE-proof re-test: traced-zero ray
+                                    # shift, full quadratic recompute;
+                                    # equal t never wins (strict <).
+                                    z = t_ref[0, 0] * 0.0
+                                    vals = tests(items, vals, ox=ox + z,
+                                                 oy=oy + z, oz=oz + z)
                                 for ref, val in zip(refs, vals):
                                     ref[:] = val
                         if k + 1 < len(batches):
@@ -871,7 +891,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
 
 def pack_culled_scene(scene_arrays, cluster_size: int = 16,
-                      global_radius_factor: float = 10.0):
+                      global_radius_factor: float = 10.0,
+                      camera_hint=None):
     """Host-side tables for the *dynamic* culled intersector.
 
     Unlike the baked path (scene as compile-time constants, per-scene
@@ -881,11 +902,19 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     kernel and even structure changes compile in O(#clusters), not
     O(#spheres).
 
+    With ``camera_hint`` (world-space eye), clusters are ordered
+    nearest-first — and since the order lives in the *tables*, not the
+    code, re-sorting for a new camera never recompiles (unlike the
+    baked path).
+
     Returns (scn (N_pad, 16) f32 NaN-padded reordered sphere table,
     clu (C, 8) f32 cluster AABBs [lo xyz, hi xyz, 0, 0],
     slab (1, 8) f32 [lo xyz, hi xyz, 0, 0],
-    n_global_blocks, n_clusters) — the last two are python ints
-    (static kernel structure).
+    tri (T_pad, 24) f32 NaN-padded triangle table (cols: v0 xyz, e1
+    xyz, e2 xyz, unit normal xyz, albedo rgb, fuzz, ior, mat_type),
+    tri_clu (TC, 8), tri_slab (1, 8),
+    n_global_blocks, n_clusters, n_tri_clusters) — the last three are
+    python ints (static kernel structure).
     """
     import numpy as np
 
@@ -920,6 +949,14 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     g_tab = rows(g_idx, 8)
     n_global_blocks = g_tab.shape[0] // 8
 
+    def hint_order(aabbs_list):
+        if camera_hint is None or not aabbs_list:
+            return list(range(len(aabbs_list)))
+        eye = np.asarray(camera_hint, np.float64).reshape(3)
+        d = [float(np.sum((np.minimum(np.maximum(eye, a[0:3]), a[3:6])
+                           - eye) ** 2)) for a in aabbs_list]
+        return list(np.argsort(d))
+
     clu_tabs = []
     aabbs = []
     for start in range(0, order.size, cluster_size):
@@ -928,6 +965,9 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         lo = (centers[idx] - radii[idx, None]).min(axis=0)
         hi = (centers[idx] + radii[idx, None]).max(axis=0)
         aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]]).astype(np.float32))
+    visit = hint_order(aabbs)
+    clu_tabs = [clu_tabs[i] for i in visit]
+    aabbs = [aabbs[i] for i in visit]
     n_clusters = len(clu_tabs)
     scn = np.concatenate([g_tab] + clu_tabs) if clu_tabs else g_tab
     clu = (np.stack(aabbs) if aabbs
@@ -936,12 +976,67 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     if order.size:
         slab[0, 0:3] = (centers[order] - radii[order, None]).min(axis=0)
         slab[0, 3:6] = (centers[order] + radii[order, None]).max(axis=0)
-    return scn, clu, slab, n_global_blocks, n_clusters
+
+    # Triangles: Morton-clustered by centroid into their own tables.
+    tri = np.full((8, 24), np.nan, np.float32)
+    tri_clu = np.zeros((1, 8), np.float32)
+    tri_slab = np.zeros((1, 8), np.float32)
+    n_tri_clusters = 0
+    if "tri_v0" in scene_arrays and scene_arrays["tri_v0"].shape[0] > 0:
+        v0 = np.asarray(scene_arrays["tri_v0"], np.float32)
+        e1 = np.asarray(scene_arrays["tri_e1"], np.float32)
+        e2 = np.asarray(scene_arrays["tri_e2"], np.float32)
+        t_alb = np.asarray(scene_arrays["tri_albedo"], np.float32)
+        t_fz = np.asarray(scene_arrays["tri_fuzz"], np.float32)
+        t_io = np.asarray(scene_arrays["tri_refract"], np.float32)
+        t_mt = np.asarray(scene_arrays["tri_mat_type"], np.float32)
+        t_ord = _morton_order(v0 + (e1 + e2) / 3.0)
+        v0, e1, e2 = v0[t_ord], e1[t_ord], e2[t_ord]
+        t_alb, t_fz = t_alb[t_ord], t_fz[t_ord]
+        t_io, t_mt = t_io[t_ord], t_mt[t_ord]
+        nrm = np.cross(e1, e2)
+        nrm = nrm / np.maximum(
+            np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)   # (T, 3, 3)
+        t_tabs, t_aabbs = [], []
+        n_t = v0.shape[0]
+        for start in range(0, n_t, cluster_size):
+            idx = slice(start, min(start + cluster_size, n_t))
+            tab = np.full((cluster_size, 24), np.nan, np.float32)
+            m = verts[idx].shape[0]
+            tab[:m, 0:3] = v0[idx]
+            tab[:m, 3:6] = e1[idx]
+            tab[:m, 6:9] = e2[idx]
+            tab[:m, 9:12] = nrm[idx]
+            tab[:m, 12:15] = t_alb[idx]
+            tab[:m, 15] = t_fz[idx]
+            tab[:m, 16] = t_io[idx]
+            tab[:m, 17] = t_mt[idx]
+            t_tabs.append(tab)
+            lo = verts[idx].min(axis=(0, 1))
+            hi = verts[idx].max(axis=(0, 1))
+            t_aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]])
+                           .astype(np.float32))
+        visit = hint_order(t_aabbs)
+        t_tabs = [t_tabs[i] for i in visit]
+        t_aabbs = [t_aabbs[i] for i in visit]
+        n_tri_clusters = len(t_tabs)
+        tri = np.concatenate(t_tabs)
+        tri_clu = np.stack(t_aabbs)
+        tri_slab = np.zeros((1, 8), np.float32)
+        tri_slab[0, 0:3] = verts.min(axis=(0, 1))
+        tri_slab[0, 3:6] = verts.max(axis=(0, 1))
+
+    return (scn, clu, slab, tri, tri_clu, tri_slab,
+            n_global_blocks, n_clusters, n_tri_clusters)
 
 
 def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                   n_global_blocks: int, n_clusters: int,
-                                  cluster_size: int):
+                                  cluster_size: int,
+                                  tri_ref=None, tri_clu_ref=None,
+                                  tri_slab_ref=None,
+                                  n_tri_clusters: int = 0):
     """Dynamic-table consensus-culled intersect (see pack_culled_scene).
 
     Same cull semantics as :func:`baked_culled_intersect` (Morton leaf
@@ -953,14 +1048,22 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     loads on the cheap SMEM scalars — measured 31 Gpairs/s nominal in
     exp/micro_r2.py (W7), i.e. the when-on-SMEM-scalar pattern carries
     no vector->scalar stall.
+
+    Triangles (``tri_ref`` tables, see pack_culled_scene) get the same
+    treatment in a second phase; with any triangles the winner carry
+    grows to 15 fields (triangle normal + is-triangle flag, the
+    :func:`baked_intersect` interface).
     """
     blocks_per_cluster = cluster_size // 8
     assert cluster_size % 8 == 0
+    has_tris = n_tri_clusters > 0
+    nfld = 15 if has_tris else 11
 
     def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz):
         for j in range(8):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt) = carry
+             b_fz, b_io, b_mt) = carry[:11]
+            rest = carry[11:]
             cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
             ocx = ox - cx
             ocy = oy - cy
@@ -975,6 +1078,10 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             # NaN roots fall through both selects to T_FAR.
             t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
             better = t < best_t
+            if rest:
+                # Triangle normals stay stale (shade ignores them for
+                # sphere winners); only the is-triangle flag clears.
+                rest = rest[:3] + (jnp.where(better, 0.0, rest[3]),)
             carry = (
                 jnp.where(better, t, best_t),
                 jnp.where(better, cx, b_cx),
@@ -987,6 +1094,51 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                 jnp.where(better, blk[j, 7], b_fz),
                 jnp.where(better, blk[j, 8], b_io),
                 jnp.where(better, blk[j, 9], b_mt),
+            ) + rest
+        return carry
+
+    def tri_block(blk, carry, ox, oy, oz, dx, dy, dz):
+        # Two-sided Moller-Trumbore over one 8-triangle block (the
+        # dynamic twin of baked_culled_intersect's tri_tests).  NaN
+        # padding rows can never win (all compares false).
+        for j in range(8):
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
+            v0x, v0y, v0z = blk[j, 0], blk[j, 1], blk[j, 2]
+            e1x, e1y, e1z = blk[j, 3], blk[j, 4], blk[j, 5]
+            e2x, e2y, e2z = blk[j, 6], blk[j, 7], blk[j, 8]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok = jnp.abs(det) > 1e-9
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                     & (tt > T_MIN))
+            tt = jnp.where(valid, tt, T_FAR)
+            better = tt < best_t
+            carry = (
+                jnp.where(better, tt, best_t),
+                b_cx, b_cy, b_cz, b_ir,   # sphere fields stay stale
+                jnp.where(better, blk[j, 12], b_ar),
+                jnp.where(better, blk[j, 13], b_ag),
+                jnp.where(better, blk[j, 14], b_ab),
+                jnp.where(better, blk[j, 15], b_fz),
+                jnp.where(better, blk[j, 16], b_io),
+                jnp.where(better, blk[j, 17], b_mt),
+                jnp.where(better, blk[j, 9], b_nx),
+                jnp.where(better, blk[j, 10], b_ny),
+                jnp.where(better, blk[j, 11], b_nz),
+                jnp.where(better, 1.0, b_it),
             )
         return carry
 
@@ -1012,14 +1164,25 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
             return tmin, tmax
 
+        def slab_cap(sref):
+            srow = sref[0]
+            s_min, s_max = box_range((srow[0], srow[1], srow[2]),
+                                     (srow[3], srow[4], srow[5]))
+            t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
+                               jnp.float32(-1.0))
+            if alive is not None:
+                t_exit = jnp.where(alive, t_exit, -1.0)
+            return t_exit
+
+        zero = jnp.zeros(shape, f32)
         init = (
             jnp.full(shape, T_FAR, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32), jnp.ones(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.ones(shape, f32), jnp.zeros(shape, f32),
+            zero, zero, zero, jnp.ones(shape, f32),
+            zero, zero, zero, zero,
+            jnp.ones(shape, f32), zero,
         )
+        if has_tris:
+            init = init + (zero, zero, jnp.ones(shape, f32), zero)
 
         # Globals (giant spheres): always tested, establishes best_t.
         def g_step(k, carry):
@@ -1027,62 +1190,70 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz)
 
         carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
-        if n_clusters == 0:
-            return carry + (jnp.zeros(shape, f32), jnp.zeros(shape, f32))
+        if n_clusters == 0 and not has_tris:
+            return carry + (zero, zero)
 
-        srow = slab_ref[0]
-        s_min, s_max = box_range((srow[0], srow[1], srow[2]),
-                                 (srow[3], srow[4], srow[5]))
-        t_exit = jnp.where((s_min <= s_max) & (s_max > T_MIN), s_max,
-                           jnp.float32(-1.0))
-        if alive is not None:
-            t_exit = jnp.where(alive, t_exit, -1.0)
-        g_rows = n_global_blocks * 8
+        n_conds = n_clusters + n_tri_clusters
 
         def body(*refs):
-            cond_ref = refs[12]
-            for ref, val in zip(refs[:11], carry):
+            cond_ref = refs[nfld + 1]
+            for ref, val in zip(refs[:nfld], carry):
                 ref[:] = val
             t_ref = refs[0]
-            clu_cnt = refs[11]
-            clu_cnt[:] = jnp.zeros(shape, f32)
+            clu_cnt = refs[nfld]
+            clu_cnt[:] = zero
 
-            # Batched cond pass -> SMEM (any() reduces pipeline here).
-            cap = jnp.minimum(t_ref[:], t_exit)
-            for c in range(n_clusters):
-                row = clu_ref[c]
-                c_min, c_max = box_range((row[0], row[1], row[2]),
-                                         (row[3], row[4], row[5]))
-                live = ((c_min <= c_max) & (c_max > T_MIN)
-                        & (jnp.maximum(c_min, 0.0) < cap))
-                cond_ref[c] = jnp.any(live).astype(jnp.int32)
+            def cond_pass(n, aabb_ref, sref, base):
+                # Batched cond pass -> SMEM (any() reduces pipeline
+                # here); dynamic tables, so order is camera-resortable
+                # without recompiling.
+                t_exit = slab_cap(sref)
+                cap = jnp.minimum(t_ref[:], t_exit)
+                for c in range(n):
+                    row = aabb_ref[c]
+                    c_min, c_max = box_range((row[0], row[1], row[2]),
+                                             (row[3], row[4], row[5]))
+                    live = ((c_min <= c_max) & (c_max > T_MIN)
+                            & (jnp.maximum(c_min, 0.0) < cap))
+                    cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
 
-            def cluster_step(k, x):
-                @pl.when(cond_ref[k] > 0)
-                def _():
-                    clu_cnt[:] = clu_cnt[:] + 1.0
-                    vals = tuple(r[:] for r in refs[:11])
-                    for b in range(blocks_per_cluster):
-                        blk = scn_ref[
-                            pl.ds(g_rows + k * cluster_size + b * 8, 8), :]
-                        vals = sphere_block(blk, vals, ox, oy, oz,
+            def sweep(n, base, table_ref, row0, block_fn, bpc):
+                def cluster_step(k, x):
+                    @pl.when(cond_ref[base + k] > 0)
+                    def _():
+                        clu_cnt[:] = clu_cnt[:] + 1.0
+                        vals = tuple(r[:] for r in refs[:nfld])
+                        for b in range(bpc):
+                            blk = table_ref[
+                                pl.ds(row0 + k * cluster_size + b * 8, 8),
+                                :]
+                            vals = block_fn(blk, vals, ox, oy, oz,
                                             dx, dy, dz)
-                    for ref, val in zip(refs, vals):
-                        ref[:] = val
-                return x
+                        for ref, val in zip(refs, vals):
+                            ref[:] = val
+                    return x
 
-            jax.lax.fori_loop(0, n_clusters, cluster_step, jnp.float32(0))
-            return (tuple(r[:] for r in refs[:12])
-                    + (jnp.zeros(shape, f32),))
+                jax.lax.fori_loop(0, n, cluster_step, jnp.float32(0))
+
+            if n_clusters:
+                cond_pass(n_clusters, clu_ref, slab_ref, 0)
+                sweep(n_clusters, 0, scn_ref, n_global_blocks * 8,
+                      sphere_block, blocks_per_cluster)
+            if has_tris:
+                cond_pass(n_tri_clusters, tri_clu_ref, tri_slab_ref,
+                          n_clusters)
+                sweep(n_tri_clusters, n_clusters, tri_ref, 0,
+                      tri_block, blocks_per_cluster)
+            return tuple(r[:] for r in refs[:nfld + 1]) + (zero,)
 
         out = pl.run_scoped(
             body,
-            *[pltpu.VMEM(shape, jnp.float32) for _ in range(12)],
-            pltpu.SMEM((n_clusters,), jnp.int32),
+            *[pltpu.VMEM(shape, jnp.float32) for _ in range(nfld + 1)],
+            pltpu.SMEM((n_conds,), jnp.int32),
         )
-        # (11 fields, clusters_entered, zeros) -> interface order
+        # (nfld fields, clusters_entered, zeros) -> interface order
         # (..., supers_entered=0, clusters_entered).
-        return out[:11] + (out[12], out[11])
+        return out[:nfld] + (out[nfld + 1], out[nfld])
 
     intersect.returns_cull_stats = True
     intersect.n_supers = 0
@@ -1171,7 +1342,11 @@ def _persistent_impl(
     def cond(c):
         s_lane, alive_f = c[0], c[11]
         pending = jnp.where(s_lane < n_samples, 1.0, 0.0)
-        return jnp.sum(pending) + jnp.sum(alive_f) > 0.0
+        tot = jnp.sum(pending) + jnp.sum(alive_f)
+        if "dbl_loopcond" in PROBE:  # perf probe: CSE-proof recompute
+            tot = 0.5 * (tot + jnp.sum(pending + c[16] * 0.0)
+                         + jnp.sum(alive_f + c[16] * 0.0))
+        return tot > 0.0
 
     def body(c):
         (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
@@ -1367,16 +1542,18 @@ def fused_render_baked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_global_blocks", "n_clusters", "cluster_size",
-                     "rows", "interpret"),
+    static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
+                     "cluster_size", "rows", "interpret"),
 )
 def fused_render_dynculled(
-    scn, clu, slab,     # pack_culled_scene tables (VMEM inputs)
+    scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
+    tri, tri_clu, tri_slab,  # pack_culled_scene triangle tables
     salts,              # (4,) u32
     cam_params,         # (24,) f32
     pix, xs, ys, valid, soff,  # (rows_total, 128)
     n_global_blocks: int = 1,
     n_clusters: int = 0,
+    n_tri_clusters: int = 0,
     cluster_size: int = 16,
     rows: int = 8,
     interpret: bool = False,
@@ -1394,12 +1571,14 @@ def fused_render_dynculled(
     smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
-    def kernel(scn_ref, clu_ref, slab_ref, salt_ref, cam_ref,
+    def kernel(scn_ref, clu_ref, slab_ref, tri_ref, tri_clu_ref,
+               tri_slab_ref, salt_ref, cam_ref,
                px_ref, xs_ref, ys_ref, valid_ref, soff_ref,
                rad_r_o, rad_g_o, rad_b_o, rays_o):
         intersect = make_dynamic_culled_intersect(
             scn_ref, clu_ref, slab_ref, n_global_blocks, n_clusters,
-            cluster_size)
+            cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
+            tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters)
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o)
@@ -1407,13 +1586,13 @@ def fused_render_dynculled(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full, full, full, smem_i, full,
+        in_specs=[full, full, full, full, full, full, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
     )(
-        scn, clu, slab,
+        scn, clu, slab, tri, tri_clu, tri_slab,
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
         pix, xs, ys, valid, soff,

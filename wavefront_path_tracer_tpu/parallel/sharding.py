@@ -98,13 +98,15 @@ def render_samples_sharded(
         baked_fn = _baked_fn(scene_arrays, config.baked_clusters,
                              camera_pos=_concrete_eye(view))
     elif (config.engine == "fused" and config.intersector == "bruteforce"
-          and config.baked_clusters > 0 and "tri_v0" not in scene_arrays):
-        from wavefront_path_tracer_tpu.models.fused import _dyn_tables
+          and config.baked_clusters > 0):
+        from wavefront_path_tracer_tpu.models.fused import (
+            _concrete_eye, _dyn_tables)
 
-        scn, clu, slab, ngb, ncl = _dyn_tables(scene_arrays,
-                                               config.baked_clusters)
-        dyn = (scn, clu, slab)   # closure-captured, replicated
-        dyn_static = (ngb, ncl, config.baked_clusters)
+        # closure-captured, replicated
+        dyn, (ngb, ncl, ntc) = _dyn_tables(
+            scene_arrays, config.baked_clusters,
+            camera_pos=_concrete_eye(view))
+        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the

@@ -158,10 +158,13 @@ class Renderer:
     def __init__(self, scene: Scene, camera: CameraController,
                  config: RenderConfig, triangles=None, stage_timer=None):
         if (triangles is not None and config.engine == "fused"
-                and config.intersector != "baked"):
+                and config.intersector != "baked"
+                and config.baked_clusters <= 0):
             raise NotImplementedError(
-                "the fused engine traces triangle meshes only with "
-                "intersector='baked'; or use engine='wavefront'/'megakernel'"
+                "the fused engine traces triangle meshes with "
+                "intersector='baked', or dynamically (no per-scene "
+                "compile) with intersector='bruteforce' and "
+                "baked_clusters > 0; or use engine='wavefront'/'megakernel'"
             )
         self.config = config
         self.camera = camera
