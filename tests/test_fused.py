@@ -160,3 +160,31 @@ def test_dynamic_culled_triangles_match_baked():
     dyn = render(scene, _cover_camera(),
                  cfg.replace(intersector="bruteforce"), triangles=tris)
     _statistically_equal(dyn, baked)
+
+
+def test_lane_rotation_equivalent():
+    """Sample rotation reassigns (pixel, sample) work items to lanes but
+    every RNG stream is unchanged — per-pixel radiance must match up to
+    float summation order."""
+    from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+    scene = book_cover()
+    cfg = BASE.replace(engine="fused", samples_per_pixel=4,
+                       samples_per_frame=4)
+    rot = render(scene, _cover_camera(), cfg)          # default: on
+    off = render(scene, _cover_camera(), cfg.replace(lane_rotate=False))
+    assert np.allclose(rot.accumulated, off.accumulated, rtol=1e-5,
+                       atol=1e-5)
+
+
+def test_lane_rotation_partial_tile():
+    """Tiles with padding lanes must disable rotation (a rotated lane
+    would trace a padding slot) and still match the oracle."""
+    from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+    scene = book_cover()
+    cfg = BASE.replace(engine="fused", width=100, height=27,
+                       samples_per_pixel=2, samples_per_frame=2)
+    ref = render(scene, _cover_camera(), cfg.replace(engine="megakernel"))
+    fz = render(scene, _cover_camera(), cfg)
+    _statistically_equal(fz, ref)

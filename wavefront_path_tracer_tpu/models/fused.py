@@ -374,6 +374,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         rad_r, rad_g, rad_b, rays = fused_render_baked(
             baked_fn, salts, cam_params, pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
+            rotate=config.lane_rotate,
         )
     elif dyn_tables is not None:
         ngb, ncl, ntc, csize = dyn_static
@@ -381,6 +382,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
             n_global_blocks=ngb, n_clusters=ncl, n_tri_clusters=ntc,
             cluster_size=csize, rows=tile_rows, interpret=interpret,
+            rotate=config.lane_rotate,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -389,6 +391,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             scene_packed, n_spheres, salts, cam_params,
             pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
+            rotate=config.lane_rotate,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

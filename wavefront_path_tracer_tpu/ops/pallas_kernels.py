@@ -646,6 +646,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         tri_hier = build_hierarchy(
             verts.min(axis=1), verts.max(axis=1), tris)
 
+    any_tris = bool(tri_hier[0])
+
     def intersect(ox, oy, oz, dx, dy, dz, alive=None):
         f32 = jnp.float32
         shape = ox.shape
@@ -663,18 +665,25 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             # normalize), so a == 1 and the inv_a multiplies vanish; a
             # negative discriminant propagates NaN through sqrt, and NaN
             # compares false in `better`, replacing the disc>=0 select.
+            # The quadratic is expanded around baked per-sphere
+            # constants: kappa = |c|^2 - r^2 in exact f64 at bake time
+            # (killing the classic |o-c|^2 - r^2 cancellation on the
+            # giant ground sphere); dd_o/oo2 are per-ray invariants CSE
+            # collapses across cluster entries:
+            #   -b = d.c - d.o ;  c_q = (|o|^2 + kappa) - o.(2c)
+            dd_o = dx * ox + dy * oy + dz * oz
+            oo2 = ox * ox + oy * oy + oz * oz
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
             texc = list(carry[15:])
             for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts in sph:
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                b_q = dx * ocx + dy * ocy + dz * ocz
-                c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = b_q * b_q - c_q
+                kappa = float(np.float64(cx) * cx + np.float64(cy) * cy
+                              + np.float64(cz) * cz - np.float64(r) * r)
+                nb = (dx * cx + dy * cy + dz * cz) - dd_o
+                c_q = (oo2 + kappa) - (ox * (2.0 * cx) + oy * (2.0 * cy)
+                                       + oz * (2.0 * cz))
+                disc = nb * nb - c_q
                 sq = jnp.sqrt(disc)          # NaN when disc < 0
-                nb = -b_q
                 t1 = nb - sq
                 t2 = nb + sq
                 # NaN roots fall through both selects to T_FAR.
@@ -689,13 +698,24 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_ar = jnp.where(better, ar, b_ar)
                 b_ag = jnp.where(better, ag, b_ag)
                 b_ab = jnp.where(better, ab, b_ab)
-                b_fz = jnp.where(better, fz, b_fz)
-                b_io = jnp.where(better, ior, b_io)
+                # A sphere selects only the attributes its own material
+                # can consume on a win: fuzz feeds the metal path, ior
+                # the dielectric path; shade ignores the others, so
+                # stale values are unobservable.
+                if mt == 1.0:
+                    b_fz = jnp.where(better, fz, b_fz)
+                if mt == 2.0:
+                    b_io = jnp.where(better, ior, b_io)
                 b_mt = jnp.where(better, mt, b_mt)
-                b_it = jnp.where(better, 0.0, b_it)
+                if any_tris:
+                    b_it = jnp.where(better, 0.0, b_it)
                 if textured:
-                    texc = [jnp.where(better, c, v) for c, v in
-                            zip((a2r, a2g, a2b, ts), texc)]
+                    if ts != 0.0:
+                        texc = [jnp.where(better, c, v) for c, v in
+                                zip((a2r, a2g, a2b, ts), texc)]
+                    else:
+                        # A solid win must still disable the checker.
+                        texc = texc[:3] + [jnp.where(better, 0.0, texc[3])]
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
                     b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc)
 
@@ -1261,7 +1281,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     return intersect
 
 
-def make_persistent_tile(intersect_fn=None):
+def make_persistent_tile(intersect_fn=None, rotate: bool = True):
     """Build the persistent-lane kernel.
 
     With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
@@ -1285,7 +1305,7 @@ def make_persistent_tile(intersect_fn=None):
 
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
-                         rad_r_o, rad_g_o, rad_b_o, rays_o)
+                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate)
 
     return kernel
 
@@ -1300,6 +1320,7 @@ def _persistent_impl(
     valid_ref,     # (rows, 128) f32: 1 for real pixels, 0 for padding
     soff_ref,      # (rows, 128) u32 per-lane sample offset (lane_split)
     rad_r_o, rad_g_o, rad_b_o, rays_o,  # (rows, 128) f32
+    rotate: bool = True,
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
 
@@ -1307,8 +1328,21 @@ def _persistent_impl(
     keeps 1023 dead lanes paying for the scene loop — every lane here
     starts its own next sample the moment its path terminates (in-kernel
     raygen; RNG streams are per (pixel, sample, bounce), so lanes are
-    independent by construction).  Lane utilization stays ~100% until
-    the tail of the very last samples.
+    independent by construction).
+
+    **Sample rotation** (``rotate``): a lane bound to one pixel does
+    that pixel's whole sample budget — so a tile's makespan is its
+    heaviest *pixel* (long glass paths), measured as 1.75x idle lane
+    time at the 1080p headline.  Instead, lane (r, c)'s k-th sample
+    traces the pixel of lane ((r+k) % rows, c): each lane's work
+    averages over ``rows`` pixels of the same coherent block (culling
+    consensus is unaffected).  The rotated pixel planes are static
+    sublane rolls selected by ``s_lane & (rows-1)`` — no gathers — and
+    radiance lands in ``rows`` offset-indexed accumulators that a final
+    static roll-sum maps back to pixel order.  Every (pixel, sample)
+    RNG stream is identical either way; only summation order changes.
+    Rotation needs a full tile (padding lanes would trace garbage), so
+    it degrades to the static binding when any lane is invalid.
     """
     frame = salt_ref[0, 0]
     sample_base = salt_ref[0, 1]
@@ -1322,6 +1356,10 @@ def _persistent_impl(
     shape = pix.shape
     has_stats = getattr(intersect_fn, "returns_cull_stats", False)
     has_tex = getattr(intersect_fn, "has_textures", False)
+    # Rotation depth: tile rows (power of two required by the & mask).
+    n_off = shape[0] if (rotate and shape[0] & (shape[0] - 1) == 0) else 1
+    # Whole-tile validity gate, resolved once (scalar).
+    rot_on = jnp.min(valid_ref[:]) > 0 if n_off > 1 else False
 
     zeros = jnp.zeros(shape, jnp.float32)
     u0 = jnp.zeros(shape, jnp.uint32)
@@ -1333,34 +1371,54 @@ def _persistent_impl(
         zeros, zeros, jnp.ones(shape, jnp.float32),  # direction (unit-ish)
         zeros, zeros, zeros,          # throughput
         zeros,                        # alive (f32; all start dead -> raygen)
-        zeros, zeros, zeros,          # radiance accum
+    ) + (zeros,) * (3 * n_off) + (   # radiance accum, per offset
         jnp.float32(0.0),             # live-ray count
         jnp.float32(0.0),             # bounce-loop iterations
         zeros, zeros,                 # cull stats: supers/clusters entered
     )
+    NRAYS = 12 + 3 * n_off
 
     def cond(c):
         s_lane, alive_f = c[0], c[11]
         pending = jnp.where(s_lane < n_samples, 1.0, 0.0)
         tot = jnp.sum(pending) + jnp.sum(alive_f)
         if "dbl_loopcond" in PROBE:  # perf probe: CSE-proof recompute
-            tot = 0.5 * (tot + jnp.sum(pending + c[16] * 0.0)
-                         + jnp.sum(alive_f + c[16] * 0.0))
+            niter = c[NRAYS + 1]
+            tot = 0.5 * (tot + jnp.sum(pending + niter * 0.0)
+                         + jnp.sum(alive_f + niter * 0.0))
         return tot > 0.0
 
     def body(c):
-        (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
-         alive_f, rr_acc, rg_acc, rb_acc, nrays, niter, sup_acc, clu_acc) = c
+        (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f) = c[:12]
+        accs = list(c[12:NRAYS])
+        nrays, niter, sup_acc, clu_acc = c[NRAYS:]
         alive = alive_f > 0
+
+        # Offset masks + rotated pixel identity (see docstring).
+        if n_off > 1:
+            s7 = jnp.where(rot_on, s_lane & _u32(n_off - 1), u0)
+            masks = [s7 == _u32(m) for m in range(n_off)]
+
+            def pick(p):
+                # out[r] = p[(r+m) % rows] for the lane's offset m.
+                out = p
+                for m in range(1, n_off):
+                    out = jnp.where(masks[m], jnp.roll(p, -m, axis=0), out)
+                return out
+
+            pix_c, xs_c, ys_c = pick(pix), pick(xs), pick(ys)
+        else:
+            masks = [None]
+            pix_c, xs_c, ys_c = pix, xs, ys
 
         # Restart finished lanes on their next sample.
         start = (~alive) & (s_lane < n_samples)
         sample = sample_base + soff + s_lane
         gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
-            xs, ys, pix, frame, sample, cam_ref)
+            xs_c, ys_c, pix_c, frame, sample, cam_ref)
         if "dbl_raygen" in PROBE:  # perf probe: CSE-proof recompute
-            g2 = _raygen_tile(xs + (niter * 0.0), ys, pix, frame, sample,
-                              cam_ref)
+            g2 = _raygen_tile(xs_c + (niter * 0.0), ys_c, pix_c, frame,
+                              sample, cam_ref)
             gox, goy, goz, gdx, gdy, gdz = [
                 0.5 * (a + b)
                 for a, b in zip((gox, goy, goz, gdx, gdy, gdz), g2)]
@@ -1396,17 +1454,23 @@ def _persistent_impl(
         hit = (best_t < T_FAR) & alive
         missed = alive & ~hit
         sky_a = 0.5 * (dy + 1.0)
-        rr_acc = rr_acc + jnp.where(missed, tr * ((1.0 - sky_a) + sky_a * 0.5), 0.0)
-        rg_acc = rg_acc + jnp.where(missed, tg * ((1.0 - sky_a) + sky_a * 0.7), 0.0)
-        rb_acc = rb_acc + jnp.where(missed, tb * ((1.0 - sky_a) + sky_a * 1.0), 0.0)
+        con_r = tr * ((1.0 - sky_a) + sky_a * 0.5)
+        con_g = tg * ((1.0 - sky_a) + sky_a * 0.7)
+        con_b = tb * ((1.0 - sky_a) + sky_a * 1.0)
+        for m in range(n_off):
+            mm = missed if masks[m] is None else (missed & masks[m])
+            accs[m] = accs[m] + jnp.where(mm, con_r, 0.0)
+            accs[n_off + m] = accs[n_off + m] + jnp.where(mm, con_g, 0.0)
+            accs[2 * n_off + m] = (accs[2 * n_off + m]
+                                   + jnp.where(mm, con_b, 0.0))
 
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
-            pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
+            pix_c, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
             *tri_fields)
         if "dbl_shade" in PROBE:  # perf probe: CSE-proof recompute
             s2 = _shade_tile(
-                pix, frame, sample, bounce, ox + (niter * 0.0), oy, oz,
+                pix_c, frame, sample, bounce, ox + (niter * 0.0), oy, oz,
                 dx, dy, dz, best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz,
                 b_ior, b_mt, *tri_fields)
             (p_x, p_y, p_z, ndx, ndy, ndz) = [
@@ -1439,26 +1503,42 @@ def _persistent_impl(
         s_lane = jnp.where(died, s_lane + _u32(1), s_lane)
         return (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
                 jnp.where(still_alive, 1.0, 0.0),
-                rr_acc, rg_acc, rb_acc, nrays, niter, sup_acc, clu_acc)
+                *accs, nrays, niter, sup_acc, clu_acc)
 
     final = jax.lax.while_loop(cond, body, state0)
-    rad_r_o[:] = final[12]
-    rad_g_o[:] = final[13]
-    rad_b_o[:] = final[14]
+    accs = final[12:NRAYS]
+    if n_off > 1:
+        # Offset m of lane (r, c) holds pixel row (r+m) % rows: a
+        # static roll-sum restores pixel order (rotation-off tiles put
+        # everything in offset 0, where the roll is the identity).
+        def _roll(x, m):
+            # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits.
+            return x if m == 0 else jnp.roll(x, m, axis=0)
+
+        rad_r_o[:] = sum(_roll(accs[m], m) for m in range(n_off))
+        rad_g_o[:] = sum(_roll(accs[n_off + m], m) for m in range(n_off))
+        rad_b_o[:] = sum(_roll(accs[2 * n_off + m], m)
+                         for m in range(n_off))
+    else:
+        rad_r_o[:] = accs[0]
+        rad_g_o[:] = accs[1]
+        rad_b_o[:] = accs[2]
     # Aux stats plane, row 0 of the tile: col 0 = live rays traced,
     # col 1 = bounce-loop iterations, col 2/3 = superclusters/clusters
     # entered (consensus-cull observability; zeros without culling).
     row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    stats = jnp.where(col_id == 0, final[15],
-                      jnp.where(col_id == 1, final[16],
-                                jnp.where(col_id == 2, final[17],
-                                          jnp.where(col_id == 3, final[18],
+    stats = jnp.where(col_id == 0, final[NRAYS],
+                      jnp.where(col_id == 1, final[NRAYS + 1],
+                                jnp.where(col_id == 2, final[NRAYS + 2],
+                                          jnp.where(col_id == 3,
+                                                    final[NRAYS + 3],
                                                     0.0))))
     rays_o[:] = jnp.where(row_id == 0, stats, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("rows", "interpret", "rotate"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -1467,6 +1547,7 @@ def fused_render_persistent(
     pix, xs, ys, valid, soff,  # (rows_total, 128)
     rows: int = 8,
     interpret: bool = False,
+    rotate: bool = True,
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
 
@@ -1485,7 +1566,7 @@ def fused_render_persistent(
 
     f32 = jnp.float32
     outs = pl.pallas_call(
-        make_persistent_tile(),
+        make_persistent_tile(rotate=rotate),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1503,7 +1584,7 @@ def fused_render_persistent(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("baked_fn", "rows", "interpret")
+    jax.jit, static_argnames=("baked_fn", "rows", "interpret", "rotate")
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -1512,6 +1593,7 @@ def fused_render_baked(
     pix, xs, ys, valid, soff,  # (rows_total, 128)
     rows: int = 8,
     interpret: bool = False,
+    rotate: bool = True,
 ):
     """Persistent-lane render with the scene baked into the kernel."""
     total_rows = pix.shape[0]
@@ -1525,7 +1607,7 @@ def fused_render_baked(
 
     f32 = jnp.float32
     outs = pl.pallas_call(
-        make_persistent_tile(baked_fn),
+        make_persistent_tile(baked_fn, rotate=rotate),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1543,7 +1625,7 @@ def fused_render_baked(
 @functools.partial(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
-                     "cluster_size", "rows", "interpret"),
+                     "cluster_size", "rows", "interpret", "rotate"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -1557,6 +1639,7 @@ def fused_render_dynculled(
     cluster_size: int = 16,
     rows: int = 8,
     interpret: bool = False,
+    rotate: bool = True,
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -1581,7 +1664,7 @@ def fused_render_dynculled(
             tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters)
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
-                         rad_r_o, rad_g_o, rad_b_o, rays_o)
+                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate)
 
     outs = pl.pallas_call(
         kernel,

@@ -46,6 +46,12 @@ class RenderConfig:
     # slowest lane) at the cost of K x input planes.  Auto-reduced to a
     # divisor of the frame's sample count.
     lane_split: int = 1
+    # Fused engine: rotate which pixel of the tile a lane traces each
+    # sample (lane (r,c)'s k-th sample -> pixel row (r+k) % tile_rows),
+    # averaging per-lane work over tile_rows pixels — the heavy-pixel
+    # straggler fix.  Same (pixel, sample) RNG streams either way; only
+    # float summation order changes.
+    lane_rotate: bool = True
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination (0, default) vs the reference's lossy early
