@@ -25,7 +25,7 @@ BASELINE_MRAYS = 1000.0
 def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
                warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32,
-               lane_split: int = 1):
+               lane_split: int = 1, rotate_cols: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         samples_per_frame=spp, max_bounces=max_bounces,
         engine=engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=block_tiles,
-        lane_split=lane_split,
+        lane_split=lane_split, lane_rotate_cols=rotate_cols,
     )
     triangles = None
     if scene_name == "mesh_demo":
@@ -94,7 +94,9 @@ def main() -> None:
     p.add_argument("--scene", default="book_one_final")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--spp", type=int, default=32)
+    # Default batch matches the BASELINE convergence workload (1000 spp
+    # rendered in frame batches); small-spp numbers are tail-bound.
+    p.add_argument("--spp", type=int, default=256)
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)
@@ -105,6 +107,8 @@ def main() -> None:
                    help="fused: NxN pixel blocks per ray tile (0 = linear)")
     p.add_argument("--lane-split", type=int, default=1,
                    help="fused: split each pixel's samples over K lanes")
+    p.add_argument("--rotate-cols", type=int, default=1,
+                   help="fused: column phases for lane rotation")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
@@ -138,7 +142,8 @@ def main() -> None:
         result = bench_once(args.scene, args.width, args.height, args.spp,
                             args.engine, args.intersector, args.max_bounces,
                             clusters=args.clusters, block_tiles=args.block_tiles,
-                            lane_split=args.lane_split)
+                            lane_split=args.lane_split,
+                            rotate_cols=args.rotate_cols)
 
     value = result["mrays_per_s"]
     print(json.dumps({

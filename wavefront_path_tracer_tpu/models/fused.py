@@ -375,6 +375,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             baked_fn, salts, cam_params, pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
+            rotate_cols=config.lane_rotate_cols,
         )
     elif dyn_tables is not None:
         ngb, ncl, ntc, csize = dyn_static
@@ -383,6 +384,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             n_global_blocks=ngb, n_clusters=ncl, n_tri_clusters=ntc,
             cluster_size=csize, rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
+            rotate_cols=config.lane_rotate_cols,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -392,6 +394,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             pix, xs, ys, valid, soff,
             rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
+            rotate_cols=config.lane_rotate_cols,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

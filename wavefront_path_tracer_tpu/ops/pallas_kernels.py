@@ -486,7 +486,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            super_factor: int = 8,
                            global_radius_factor: float = 10.0,
                            triangles=None, tex=None,
-                           camera_hint=None, refresh: int = 16):
+                           camera_hint=None, refresh: int = 16,
+                           super_gate: int = 48):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -882,7 +883,9 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                         if k + 1 < len(batches):
                             conds = nxt
 
-                if len(clusters) > 48:
+                # Two-level only above the gate: with few clusters the
+                # super conds cost more than the leaf conds they save.
+                if len(clusters) > super_gate:
                     cap0 = jnp.minimum(t_ref[:], t_exit)
                     sup_conds = [
                         jnp.any(cluster_cond(s_lo, s_hi, cap0))
@@ -1281,7 +1284,8 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     return intersect
 
 
-def make_persistent_tile(intersect_fn=None, rotate: bool = True):
+def make_persistent_tile(intersect_fn=None, rotate: bool = True,
+                         rotate_cols: int = 1):
     """Build the persistent-lane kernel.
 
     With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
@@ -1305,7 +1309,8 @@ def make_persistent_tile(intersect_fn=None, rotate: bool = True):
 
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
-                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate)
+                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
+                         rotate_cols=rotate_cols)
 
     return kernel
 
@@ -1321,6 +1326,7 @@ def _persistent_impl(
     soff_ref,      # (rows, 128) u32 per-lane sample offset (lane_split)
     rad_r_o, rad_g_o, rad_b_o, rays_o,  # (rows, 128) f32
     rotate: bool = True,
+    rotate_cols: int = 1,
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
 
@@ -1338,11 +1344,20 @@ def _persistent_impl(
     averages over ``rows`` pixels of the same coherent block (culling
     consensus is unaffected).  The rotated pixel planes are static
     sublane rolls selected by ``s_lane & (rows-1)`` — no gathers — and
-    radiance lands in ``rows`` offset-indexed accumulators that a final
-    static roll-sum maps back to pixel order.  Every (pixel, sample)
-    RNG stream is identical either way; only summation order changes.
+    radiance lands in offset-indexed accumulators that a final static
+    roll-sum maps back to pixel order.  Every (pixel, sample) RNG
+    stream is identical either way; only summation order changes.
     Rotation needs a full tile (padding lanes would trace garbage), so
     it degrades to the static binding when any lane is invalid.
+
+    ``rotate_cols`` > 1 extends the offsets to the lane (column)
+    dimension: a tile row holds 4 image rows x 32 columns, so row
+    rotation alone never varies a lane's image *column* and a
+    vertically coherent hotspot (a sphere silhouette) keeps its column
+    lanes hot.  With n_c column phases the k-th sample also rolls lanes
+    by ``(k // rows) % n_c * (32 // n_c)`` — shifting the image column
+    by 16 (n_c=2), 8 (n_c=4), ... — at the cost of n_c x more
+    accumulator planes and selects.
     """
     frame = salt_ref[0, 0]
     sample_base = salt_ref[0, 1]
@@ -1356,8 +1371,15 @@ def _persistent_impl(
     shape = pix.shape
     has_stats = getattr(intersect_fn, "returns_cull_stats", False)
     has_tex = getattr(intersect_fn, "has_textures", False)
-    # Rotation depth: tile rows (power of two required by the & mask).
-    n_off = shape[0] if (rotate and shape[0] & (shape[0] - 1) == 0) else 1
+    # Rotation depth: tile rows (power of two required by the & mask)
+    # times the column phases.
+    n_r = shape[0] if (rotate and shape[0] & (shape[0] - 1) == 0) else 1
+    n_c = rotate_cols if (n_r > 1 and rotate_cols > 1
+                          and rotate_cols & (rotate_cols - 1) == 0
+                          and 32 % rotate_cols == 0) else 1
+    offsets = [(dr, mc * (32 // n_c))
+               for mc in range(n_c) for dr in range(n_r)]
+    n_off = len(offsets)
     # Whole-tile validity gate, resolved once (scalar).
     rot_on = jnp.min(valid_ref[:]) > 0 if n_off > 1 else False
 
@@ -1396,14 +1418,28 @@ def _persistent_impl(
 
         # Offset masks + rotated pixel identity (see docstring).
         if n_off > 1:
-            s7 = jnp.where(rot_on, s_lane & _u32(n_off - 1), u0)
-            masks = [s7 == _u32(m) for m in range(n_off)]
+            s7 = jnp.where(rot_on, s_lane & _u32(n_r - 1), u0)
+            mrow = [s7 == _u32(m) for m in range(n_r)]
+            if n_c > 1:
+                shift_r = n_r.bit_length() - 1
+                sc = jnp.where(rot_on,
+                               (s_lane >> _u32(shift_r)) & _u32(n_c - 1),
+                               u0)
+                mcol = [sc == _u32(m) for m in range(n_c)]
+                masks = [mrow[dr] & mcol[o // n_r]
+                         for o, (dr, _dc) in enumerate(offsets)]
+            else:
+                masks = mrow
 
             def pick(p):
-                # out[r] = p[(r+m) % rows] for the lane's offset m.
+                # out[lane] = p[lane + offset] for the lane's (dr, dc).
                 out = p
-                for m in range(1, n_off):
-                    out = jnp.where(masks[m], jnp.roll(p, -m, axis=0), out)
+                for o in range(1, n_off):
+                    dr, dc = offsets[o]
+                    q = jnp.roll(p, -dr, axis=0) if dr else p
+                    if dc:
+                        q = jnp.roll(q, -dc, axis=1)
+                    out = jnp.where(masks[o], q, out)
                 return out
 
             pix_c, xs_c, ys_c = pick(pix), pick(xs), pick(ys)
@@ -1508,17 +1544,22 @@ def _persistent_impl(
     final = jax.lax.while_loop(cond, body, state0)
     accs = final[12:NRAYS]
     if n_off > 1:
-        # Offset m of lane (r, c) holds pixel row (r+m) % rows: a
+        # Offset o of a lane holds the pixel at roll(-dr, -dc): a
         # static roll-sum restores pixel order (rotation-off tiles put
         # everything in offset 0, where the roll is the identity).
-        def _roll(x, m):
+        def _roll(x, o):
             # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits.
-            return x if m == 0 else jnp.roll(x, m, axis=0)
+            dr, dc = offsets[o]
+            if dr:
+                x = jnp.roll(x, dr, axis=0)
+            if dc:
+                x = jnp.roll(x, dc, axis=1)
+            return x
 
-        rad_r_o[:] = sum(_roll(accs[m], m) for m in range(n_off))
-        rad_g_o[:] = sum(_roll(accs[n_off + m], m) for m in range(n_off))
-        rad_b_o[:] = sum(_roll(accs[2 * n_off + m], m)
-                         for m in range(n_off))
+        rad_r_o[:] = sum(_roll(accs[o], o) for o in range(n_off))
+        rad_g_o[:] = sum(_roll(accs[n_off + o], o) for o in range(n_off))
+        rad_b_o[:] = sum(_roll(accs[2 * n_off + o], o)
+                         for o in range(n_off))
     else:
         rad_r_o[:] = accs[0]
         rad_g_o[:] = accs[1]
@@ -1537,8 +1578,9 @@ def _persistent_impl(
     rays_o[:] = jnp.where(row_id == 0, stats, 0.0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("rows", "interpret", "rotate"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "interpret", "rotate", "rotate_cols"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -1548,6 +1590,7 @@ def fused_render_persistent(
     rows: int = 8,
     interpret: bool = False,
     rotate: bool = True,
+    rotate_cols: int = 1,
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
 
@@ -1566,7 +1609,7 @@ def fused_render_persistent(
 
     f32 = jnp.float32
     outs = pl.pallas_call(
-        make_persistent_tile(rotate=rotate),
+        make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1584,7 +1627,9 @@ def fused_render_persistent(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("baked_fn", "rows", "interpret", "rotate")
+    jax.jit,
+    static_argnames=("baked_fn", "rows", "interpret", "rotate",
+                     "rotate_cols"),
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -1594,6 +1639,7 @@ def fused_render_baked(
     rows: int = 8,
     interpret: bool = False,
     rotate: bool = True,
+    rotate_cols: int = 1,
 ):
     """Persistent-lane render with the scene baked into the kernel."""
     total_rows = pix.shape[0]
@@ -1607,7 +1653,8 @@ def fused_render_baked(
 
     f32 = jnp.float32
     outs = pl.pallas_call(
-        make_persistent_tile(baked_fn, rotate=rotate),
+        make_persistent_tile(baked_fn, rotate=rotate,
+                             rotate_cols=rotate_cols),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1625,7 +1672,8 @@ def fused_render_baked(
 @functools.partial(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
-                     "cluster_size", "rows", "interpret", "rotate"),
+                     "cluster_size", "rows", "interpret", "rotate",
+                     "rotate_cols"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -1640,6 +1688,7 @@ def fused_render_dynculled(
     rows: int = 8,
     interpret: bool = False,
     rotate: bool = True,
+    rotate_cols: int = 1,
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -1664,7 +1713,8 @@ def fused_render_dynculled(
             tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters)
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
-                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate)
+                         rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
+                         rotate_cols=rotate_cols)
 
     outs = pl.pallas_call(
         kernel,

@@ -52,6 +52,15 @@ class RenderConfig:
     # straggler fix.  Same (pixel, sample) RNG streams either way; only
     # float summation order changes.
     lane_rotate: bool = True
+    # Fused engine: column phases for the rotation above.  A tile row
+    # holds 4 image rows x 32 columns, so row rotation alone never
+    # varies a lane's image column; with N > 1 every rows-th sample
+    # also shifts the lane's image column by 32/N, spreading vertically
+    # coherent hotspots (sphere silhouettes) at the cost of N x more
+    # in-kernel accumulator planes.  Power of two dividing 32.
+    # Measured at the 1080p headline: N=2 is a wash, N=4 loses ~5%
+    # (the extra selects eat the utilization gain) — default stays 1.
+    lane_rotate_cols: int = 1
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Exact termination (0, default) vs the reference's lossy early
