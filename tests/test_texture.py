@@ -111,8 +111,32 @@ def test_image_texture_renders_on_xla_engines():
     assert np.isfinite(mk.accumulated).all()
 
 
-def test_image_texture_fused_rejected():
-    scene = get_scene("book_checker")
+def _image_scene():
+    """Small scene dominated by one image-textured sphere (a LUT-sized
+    16x16 image, so the fused bake is lossless apart from UV approx)."""
+    u = np.linspace(0.0, 1.0, 16)[None, :, None]
+    v = np.linspace(0.15, 1.0, 16)[:, None, None]
+    img = (np.concatenate([u, 1.0 - u, np.full_like(u, 0.35)], -1)
+           * v).astype(np.float32)
+    b = SceneBuilder()
+    b.sphere([0.0, -100.5, -1.0], 100.0, b.lambertian([0.4, 0.4, 0.4]))
+    b.sphere([0.0, 0.0, -1.2], 0.5, b.lambertian([1.0, 1.0, 1.0],
+                                                 texture=img))
+    b.sphere([1.0, 0.0, -1.0], 0.5, b.metal([0.8, 0.6, 0.2], 0.1))
+    return b.build()
+
+
+def test_image_texture_fused_baked():
+    """The fused engine bakes image textures as when-gated <=512-texel
+    LUTs (pallas_kernels._apply_image_textures).  With a 16x16 image
+    the LUT is exact; only the UV binning (polynomial acos/atan2 vs
+    exact) can flip a boundary texel, so the gate is statistical."""
+    scene = _image_scene()
     cc = _cover_camera()
-    with pytest.raises(NotImplementedError, match="image textures"):
-        render(scene, cc, BASE.replace(engine="fused", intersector="baked"))
+    cfg = BASE.replace(samples_per_pixel=4, samples_per_frame=4)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    fz = render(scene, cc, cfg.replace(engine="fused", intersector="baked"))
+    assert np.isfinite(fz.accumulated).all()
+    diff = np.abs(fz.image - mk.image).max(axis=-1)
+    assert (diff > 0.05).mean() < 0.03
+    assert rmse(fz.image, mk.image) < 5e-2

@@ -159,23 +159,40 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
     if triangles is not None:
         tri_key = hash(b"".join(np.asarray(t).tobytes() for t in triangles))
     tex = None
+    images = ()
     if "tex_kind" in scene_arrays:
-        if "tex_data" in scene_arrays:
-            raise NotImplementedError(
-                "image textures need per-lane gathers, which are "
-                "pathological on this device; the fused engine supports "
-                "checker textures only — render image-textured scenes "
-                "with engine='wavefront' or 'megakernel'"
-            )
-        # Checker-only: (albedo2, scale); scale 0 disables per sphere.
+        # Checker: (albedo2, scale) baked per sphere; scale 0 disables.
         tex = (np.asarray(scene_arrays["tex_albedo2"]),
                np.asarray(scene_arrays["tex_scale"]))
+        if "tex_data" in scene_arrays:
+            # Image textures: per-lane texel gathers are pathological
+            # on this device, so each image sphere's texture is baked
+            # as a <=512-texel LUT evaluated by a when-gated select
+            # tree in-kernel (_apply_image_textures).  Mean-pool
+            # downsample preserves overall color; full-resolution image
+            # textures live on the XLA engines.
+            kind = np.asarray(scene_arrays["tex_kind"])
+            tid = np.asarray(scene_arrays["tex_id"])
+            data = np.asarray(scene_arrays["tex_data"], np.float32)
+            radii = np.asarray(scene_arrays["radii"])
+            imgs = []
+            for i in np.nonzero(kind == 2)[0]:
+                lut = data[int(tid[i])]
+                while lut.shape[0] * lut.shape[1] > 512:
+                    h2 = lut.shape[0] // 2 * 2
+                    w2 = lut.shape[1] // 2 * 2
+                    lut = lut[:h2, :w2].reshape(
+                        h2 // 2, 2, w2 // 2, 2, 3).mean(axis=(1, 3))
+                imgs.append((float(centers[i, 0]), float(centers[i, 1]),
+                             float(centers[i, 2]), 1.0 / float(radii[i]),
+                             lut))
+            images = tuple(imgs)
     # Fingerprint EVERY baked table — scenes differing only in radii or
     # materials must not reuse a stale kernel.
     sphere_key = hash(b"".join(
         np.asarray(scene_arrays[k]).tobytes()
         for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
-                  "mat_type")
+                  "mat_type", "tex_kind", "tex_id", "tex_data")
         if k in scene_arrays
     ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
     key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key)
@@ -195,6 +212,7 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
                                         camera_hint=camera_pos)
         else:
             fn = baked_intersect(*args, triangles=triangles, tex=tex)
+        fn.image_textures = images
         _BAKED_CACHE[key] = fn
         while len(_BAKED_CACHE) > _BAKED_CACHE_MAX:
             _BAKED_CACHE.popitem(last=False)

@@ -249,6 +249,91 @@ def _shade_tile(pix, frame, sample, bounce,
     return p_x, p_y, p_z, ndx * inv_len, ndy * inv_len, ndz * inv_len
 
 
+_HALF_PI = 1.5707963
+
+
+def _acos_approx(x):
+    """Branchless acos on [-1, 1] (A&S 4.4.45, |err| < 7e-5) — Mosaic
+    has no acos primitive; texture lookups only need bin precision."""
+    a = jnp.abs(x)
+    base = jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * (
+        1.5707288 + a * (-0.2121144 + a * (0.0742610 - 0.0187293 * a)))
+    return jnp.where(x < 0.0, jnp.float32(_PI) - base, base)
+
+
+def _atan2_approx(y, x):
+    """Branchless atan2 (A&S 4.4.49 core, |err| ~ 1e-5) — Mosaic has no
+    atan2 primitive."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    z = jnp.minimum(ax, ay) / jnp.maximum(mx, 1e-30)
+    z2 = z * z
+    at = z * (0.9998660 + z2 * (-0.3302995 + z2 * (
+        0.1801410 + z2 * (-0.0851330 + 0.0208351 * z2))))
+    at = jnp.where(ay > ax, jnp.float32(_HALF_PI) - at, at)
+    at = jnp.where(x < 0.0, jnp.float32(_PI) - at, at)
+    return jnp.where(y < 0.0, -at, at)
+
+
+def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz,
+                          p_x, p_y, p_z, ar, ag, ab):
+    """Baked image-texture albedo for winner lanes of image spheres.
+
+    The fused kernel cannot gather texels per lane (pathological on
+    this device), so each image-textured sphere's texture is baked as a
+    <=512-texel LUT evaluated by a binary select tree over the texel
+    index bits — and the whole evaluation is gated on a per-tile
+    ``pl.when(any(match))``, so tiles that never see the sphere pay one
+    batched reduce only.  The winner is identified by its baked center
+    (exact float equality with the carried winner fields).  UV is the
+    RTIOW equirect parametrization (ops/texture.py:sphere_uv) with
+    polynomial acos/atan2.
+    """
+    def scoped(r_ref, g_ref, b_ref):
+        r_ref[:] = ar
+        g_ref[:] = ag
+        b_ref[:] = ab
+        for cx, cy, cz, inv_r, lut in img_texs:
+            match = hit & (b_cx == cx) & (b_cy == cy) & (b_cz == cz)
+
+            @pl.when(jnp.any(match))
+            def _(cx=cx, cy=cy, cz=cz, inv_r=inv_r, lut=lut, match=match):
+                nx = (p_x - cx) * inv_r
+                ny = (p_y - cy) * inv_r
+                nz = (p_z - cz) * inv_r
+                u = (_atan2_approx(-nz, nx) + jnp.float32(_PI)) \
+                    * jnp.float32(1.0 / (2.0 * _PI))
+                v = _acos_approx(jnp.clip(-ny, -1.0, 1.0)) \
+                    * jnp.float32(1.0 / _PI)
+                h, w = lut.shape[0], lut.shape[1]
+                yi = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, h - 1)
+                xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+                idx = yi * w + xi
+                nbits = max(1, (h * w - 1).bit_length())
+                bits = [((idx >> k) & 1) == 1 for k in range(nbits)]
+                texel = []
+                for ch in range(3):
+                    vals = [float(t) for t in lut[..., ch].ravel()]
+                    vals += [0.0] * ((1 << nbits) - len(vals))
+                    lvl = 0
+                    while len(vals) > 1:
+                        vals = [jnp.where(bits[lvl], vals[2 * i + 1],
+                                          vals[2 * i])
+                                for i in range(len(vals) // 2)]
+                        lvl += 1
+                    texel.append(vals[0])
+                r_ref[:] = jnp.where(match, texel[0], r_ref[:])
+                g_ref[:] = jnp.where(match, texel[1], g_ref[:])
+                b_ref[:] = jnp.where(match, texel[2], b_ref[:])
+        return r_ref[:], g_ref[:], b_ref[:]
+
+    return pl.run_scoped(
+        scoped, pltpu.VMEM(hit.shape, jnp.float32),
+        pltpu.VMEM(hit.shape, jnp.float32),
+        pltpu.VMEM(hit.shape, jnp.float32))
+
+
 def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
     """In-kernel primary-ray generation (the reference's K1,
     generate_rays.wgsl:42-91), elementwise over a tile.
@@ -1522,6 +1607,11 @@ def _persistent_impl(
             b_ar = jnp.where(sel, a2r, b_ar)
             b_ag = jnp.where(sel, a2g, b_ag)
             b_ab = jnp.where(sel, a2b, b_ab)
+        img_texs = getattr(intersect_fn, "image_textures", ())
+        if img_texs:
+            b_ar, b_ag, b_ab = _apply_image_textures(
+                img_texs, hit, b_cx, b_cy, b_cz, p_x, p_y, p_z,
+                b_ar, b_ag, b_ab)
 
         ox = jnp.where(hit, p_x, ox)
         oy = jnp.where(hit, p_y, oy)
