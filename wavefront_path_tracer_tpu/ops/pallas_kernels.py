@@ -1052,6 +1052,16 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         out[:n, 7] = fuzz[idx]
         out[:n, 8] = refract[idx]
         out[:n, 9] = mat[idx]
+        # Quadratic-slimming columns (see sphere_block): kappa =
+        # |c|^2 - r^2 in exact f64 (kills the cancellation on giant
+        # spheres), 1/r (replaces a per-sphere divide), 2c (folds the
+        # doubling into the table).  Padding rows stay NaN, which can
+        # never win the nearest-hit select.
+        c64 = centers[idx].astype(np.float64)
+        out[:n, 10] = (np.sum(c64 * c64, axis=1)
+                       - radii[idx].astype(np.float64) ** 2)
+        out[:n, 11] = 1.0 / radii[idx]
+        out[:n, 12:15] = 2.0 * centers[idx]
         return out
 
     g_tab = rows(g_idx, 8)
@@ -1167,20 +1177,27 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     has_tris = n_tri_clusters > 0
     nfld = 15 if has_tris else 11
 
-    def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz):
+    def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
+                     dd_o=None, oo2=None):
+        # Issue-rate-slimmed quadratic on table columns (see
+        # pack_culled_scene.rows): kappa/2c/inv_r are precomputed, the
+        # per-ray invariants dd_o = d.o and oo2 = |o|^2 are hoisted by
+        # the caller, directions are unit (a == 1), and a negative
+        # discriminant propagates NaN, which never wins a compare.
+        if dd_o is None:
+            dd_o = dx * ox + dy * oy + dz * oz
+        if oo2 is None:
+            oo2 = ox * ox + oy * oy + oz * oz
         for j in range(8):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt) = carry[:11]
             rest = carry[11:]
-            cx, cy, cz, r = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
-            ocx = ox - cx
-            ocy = oy - cy
-            ocz = oz - cz
-            b_q = dx * ocx + dy * ocy + dz * ocz
-            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = b_q * b_q - c_q      # unit directions: a == 1
+            cx, cy, cz = blk[j, 0], blk[j, 1], blk[j, 2]
+            nb = (dx * cx + dy * cy + dz * cz) - dd_o
+            c_q = (oo2 + blk[j, 10]) - (ox * blk[j, 12] + oy * blk[j, 13]
+                                        + oz * blk[j, 14])
+            disc = nb * nb - c_q
             sq = jnp.sqrt(disc)          # NaN when disc < 0
-            nb = -b_q
             t1 = nb - sq
             t2 = nb + sq
             # NaN roots fall through both selects to T_FAR.
@@ -1195,7 +1212,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                 jnp.where(better, cx, b_cx),
                 jnp.where(better, cy, b_cy),
                 jnp.where(better, cz, b_cz),
-                jnp.where(better, 1.0 / r, b_ir),
+                jnp.where(better, blk[j, 11], b_ir),
                 jnp.where(better, blk[j, 4], b_ar),
                 jnp.where(better, blk[j, 5], b_ag),
                 jnp.where(better, blk[j, 6], b_ab),
@@ -1256,6 +1273,12 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
+        dd_o = dx * ox + dy * oy + dz * oz
+        oo2 = ox * ox + oy * oy + oz * oz
+
+        def sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz):
+            return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
+                                dd_o=dd_o, oo2=oo2)
 
         def box_range(lo, hi):
             tx0 = (lo[0] - ox) * idx_
@@ -1295,7 +1318,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         # Globals (giant spheres): always tested, establishes best_t.
         def g_step(k, carry):
             blk = scn_ref[pl.ds(k * 8, 8), :]
-            return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz)
+            return sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz)
 
         carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
         if n_clusters == 0 and not has_tris:
@@ -1311,13 +1334,11 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             clu_cnt = refs[nfld]
             clu_cnt[:] = zero
 
-            def cond_pass(n, aabb_ref, sref, base):
+            def cond_batch(base, start, count, aabb_ref, cap):
                 # Batched cond pass -> SMEM (any() reduces pipeline
                 # here); dynamic tables, so order is camera-resortable
                 # without recompiling.
-                t_exit = slab_cap(sref)
-                cap = jnp.minimum(t_ref[:], t_exit)
-                for c in range(n):
+                for c in range(start, start + count):
                     row = aabb_ref[c]
                     c_min, c_max = box_range((row[0], row[1], row[2]),
                                              (row[3], row[4], row[5]))
@@ -1325,33 +1346,54 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                             & (jnp.maximum(c_min, 0.0) < cap))
                     cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
 
-            def sweep(n, base, table_ref, row0, block_fn, bpc):
-                def cluster_step(k, x):
-                    @pl.when(cond_ref[base + k] > 0)
-                    def _():
-                        clu_cnt[:] = clu_cnt[:] + 1.0
-                        vals = tuple(r[:] for r in refs[:nfld])
-                        for b in range(bpc):
-                            blk = table_ref[
-                                pl.ds(row0 + k * cluster_size + b * 8, 8),
-                                :]
-                            vals = block_fn(blk, vals, ox, oy, oz,
-                                            dx, dy, dz)
-                        for ref, val in zip(refs, vals):
-                            ref[:] = val
-                    return x
+            def sweep(n, base, table_ref, row0, block_fn, bpc,
+                      aabb_ref, sref, refresh: int = 16):
+                # Pipelined consensus with cap refresh, as in the baked
+                # sweep: batch k+1's conds are recomputed from the
+                # RUNNING best_t (tightened by batches <= k-1) and their
+                # reduces issued before batch k's cluster tests run, so
+                # the scalars have retired by the time they gate.  With
+                # the tables' front-to-back order a primary hit in an
+                # early batch culls everything behind it — without this
+                # the dynamic path tested every cluster the *initial*
+                # cap allowed, which is most of them.
+                t_exit = slab_cap(sref)
+                batches = [(s, min(refresh, n - s))
+                           for s in range(0, n, refresh)]
+                cond_batch(base, 0, batches[0][1], aabb_ref,
+                           jnp.minimum(t_ref[:], t_exit))
+                for bi, (s, ln) in enumerate(batches):
+                    if bi + 1 < len(batches):
+                        s2, ln2 = batches[bi + 1]
+                        cond_batch(base, s2, ln2, aabb_ref,
+                                   jnp.minimum(t_ref[:], t_exit))
 
-                jax.lax.fori_loop(0, n, cluster_step, jnp.float32(0))
+                    def cluster_step(k, x):
+                        @pl.when(cond_ref[base + k] > 0)
+                        def _():
+                            clu_cnt[:] = clu_cnt[:] + 1.0
+                            vals = tuple(r[:] for r in refs[:nfld])
+                            for b in range(bpc):
+                                blk = table_ref[
+                                    pl.ds(row0 + k * cluster_size
+                                          + b * 8, 8), :]
+                                vals = block_fn(blk, vals, ox, oy, oz,
+                                                dx, dy, dz)
+                            for ref, val in zip(refs, vals):
+                                ref[:] = val
+                        return x
+
+                    jax.lax.fori_loop(s, s + ln, cluster_step,
+                                      jnp.float32(0))
 
             if n_clusters:
-                cond_pass(n_clusters, clu_ref, slab_ref, 0)
                 sweep(n_clusters, 0, scn_ref, n_global_blocks * 8,
-                      sphere_block, blocks_per_cluster)
+                      sphere_block_h, blocks_per_cluster, clu_ref,
+                      slab_ref)
             if has_tris:
-                cond_pass(n_tri_clusters, tri_clu_ref, tri_slab_ref,
-                          n_clusters)
                 sweep(n_tri_clusters, n_clusters, tri_ref, 0,
-                      tri_block, blocks_per_cluster)
+                      tri_block, blocks_per_cluster, tri_clu_ref,
+                      tri_slab_ref)
             return tuple(r[:] for r in refs[:nfld + 1]) + (zero,)
 
         out = pl.run_scoped(
