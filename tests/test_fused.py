@@ -162,6 +162,37 @@ def test_dynamic_culled_triangles_match_baked():
     _statistically_equal(dyn, baked)
 
 
+def test_far_from_origin_scene():
+    """The slimmed quadratic expands |o-c|^2 around the scene center;
+    without the conditioning shift its error grows as eps*|c|^2 and a
+    scene translated 10k units from the origin develops silhouette
+    speckle and self-intersection acne.  The XLA oracle uses the
+    robust |o-c| form, so agreement here proves the conditioning."""
+    from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+    off = np.array([2000.0, -1000.0, 3000.0], np.float32)
+    scene = book_cover()
+    scene = scene._replace(centers=scene.centers + off)
+    cc = _cover_camera()
+    cam = cc.camera
+    cc.camera = cam.look_at(np.asarray(cam.position) + off,
+                            np.array([0.0, 0.0, -1.0]) + off)
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    for intersector, clusters in (("baked", 16), ("bruteforce", 8)):
+        fz = render(scene, cc, cfg.replace(engine="fused",
+                                           intersector=intersector,
+                                           baked_clusters=clusters))
+        assert np.isfinite(fz.accumulated).all()
+        # Ray origins themselves are f32-quantized to ~|o|*eps here, so
+        # cross-engine ULP divergence is amplified; the gates are loose
+        # but a *conditioning* failure is orders worse (err ~ eps*|c|^2
+        # rivals c_q near surfaces: acne/speckle over most pixels).
+        assert abs(fz.accumulated.mean() - mk.accumulated.mean()) < 2e-2
+        diff = np.abs(fz.image - mk.image).max(axis=-1)
+        assert (diff > 0.05).mean() < 0.05
+
+
 def test_lane_rotation_equivalent():
     """Sample rotation reassigns (pixel, sample) work items to lanes but
     every RNG stream is unchanged — per-pixel radiance must match up to

@@ -127,6 +127,38 @@ def _plane(x, rows_total):
     return x.reshape(rows_total, _LANES)
 
 
+def _bake_image_luts(scene_arrays, centers):
+    """LUTs for image-textured spheres in the fused baked path.
+
+    Per-lane texel gathers are pathological on this device, so each
+    image sphere's texture is baked as a <=512-texel LUT (mean-pool
+    downsampled, halving only dimensions > 1) evaluated by a when-gated
+    select tree in-kernel (pallas_kernels._apply_image_textures).
+    Full-resolution image textures live on the XLA engines.  Called
+    only on a bake-cache miss — the downsample is pure host numpy.
+    """
+    if "tex_data" not in scene_arrays:
+        return ()
+    kind = np.asarray(scene_arrays["tex_kind"])
+    tid = np.asarray(scene_arrays["tex_id"])
+    data = np.asarray(scene_arrays["tex_data"], np.float32)
+    radii = np.asarray(scene_arrays["radii"])
+    imgs = []
+    for i in np.nonzero(kind == 2)[0]:
+        lut = data[int(tid[i])]
+        while lut.shape[0] * lut.shape[1] > 512:
+            h, w = lut.shape[:2]
+            if w > 1 and (w >= h or h == 1):
+                lut = lut[:, : w // 2 * 2].reshape(
+                    h, w // 2, 2, 3).mean(axis=2)
+            else:
+                lut = lut[: h // 2 * 2].reshape(
+                    h // 2, 2, w, 3).mean(axis=1)
+        imgs.append((float(centers[i, 0]), float(centers[i, 1]),
+                     float(centers[i, 2]), 1.0 / float(radii[i]), lut))
+    return tuple(imgs)
+
+
 def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
     centers = np.asarray(scene_arrays["centers"])
     # Front-to-back cluster ordering hint (perf only — a stale order is
@@ -159,34 +191,10 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
     if triangles is not None:
         tri_key = hash(b"".join(np.asarray(t).tobytes() for t in triangles))
     tex = None
-    images = ()
     if "tex_kind" in scene_arrays:
         # Checker: (albedo2, scale) baked per sphere; scale 0 disables.
         tex = (np.asarray(scene_arrays["tex_albedo2"]),
                np.asarray(scene_arrays["tex_scale"]))
-        if "tex_data" in scene_arrays:
-            # Image textures: per-lane texel gathers are pathological
-            # on this device, so each image sphere's texture is baked
-            # as a <=512-texel LUT evaluated by a when-gated select
-            # tree in-kernel (_apply_image_textures).  Mean-pool
-            # downsample preserves overall color; full-resolution image
-            # textures live on the XLA engines.
-            kind = np.asarray(scene_arrays["tex_kind"])
-            tid = np.asarray(scene_arrays["tex_id"])
-            data = np.asarray(scene_arrays["tex_data"], np.float32)
-            radii = np.asarray(scene_arrays["radii"])
-            imgs = []
-            for i in np.nonzero(kind == 2)[0]:
-                lut = data[int(tid[i])]
-                while lut.shape[0] * lut.shape[1] > 512:
-                    h2 = lut.shape[0] // 2 * 2
-                    w2 = lut.shape[1] // 2 * 2
-                    lut = lut[:h2, :w2].reshape(
-                        h2 // 2, 2, w2 // 2, 2, 3).mean(axis=(1, 3))
-                imgs.append((float(centers[i, 0]), float(centers[i, 1]),
-                             float(centers[i, 2]), 1.0 / float(radii[i]),
-                             lut))
-            images = tuple(imgs)
     # Fingerprint EVERY baked table — scenes differing only in radii or
     # materials must not reuse a stale kernel.
     sphere_key = hash(b"".join(
@@ -212,7 +220,7 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
                                         camera_hint=camera_pos)
         else:
             fn = baked_intersect(*args, triangles=triangles, tex=tex)
-        fn.image_textures = images
+        fn.image_textures = _bake_image_luts(scene_arrays, centers)
         _BAKED_CACHE[key] = fn
         while len(_BAKED_CACHE) > _BAKED_CACHE_MAX:
             _BAKED_CACHE.popitem(last=False)

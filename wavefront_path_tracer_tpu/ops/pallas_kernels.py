@@ -276,7 +276,7 @@ def _atan2_approx(y, x):
     return jnp.where(y < 0.0, -at, at)
 
 
-def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz,
+def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz, b_ir, b_it,
                           p_x, p_y, p_z, ar, ag, ab):
     """Baked image-texture albedo for winner lanes of image spheres.
 
@@ -295,7 +295,13 @@ def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz,
         g_ref[:] = ag
         b_ref[:] = ab
         for cx, cy, cz, inv_r, lut in img_texs:
-            match = hit & (b_cx == cx) & (b_cy == cy) & (b_cz == cz)
+            # Winner identity = center AND radius (concentric hollow
+            # pairs share centers), and never a triangle win (triangle
+            # selects leave the sphere center fields stale).
+            match = (hit & (b_cx == cx) & (b_cy == cy) & (b_cz == cz)
+                     & (b_ir == inv_r))
+            if b_it is not None:
+                match = match & (b_it <= 0.0)
 
             @pl.when(jnp.any(match))
             def _(cx=cx, cy=cy, cz=cz, inv_r=inv_r, lut=lut, match=match):
@@ -660,6 +666,26 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         global_rows = rows(np.arange(centers.shape[0]))
         rest = np.zeros((0,), np.int64)
 
+    # Conditioning shift: the slimmed quadratic expands |o-c|^2 around
+    # the frame origin, and every addend's rounding error scales with
+    # the largest term (~eps * max(|o'|^2, |kappa|, |o'||c'|)) — for a
+    # scene far from the origin that error can rival c_q near a
+    # surface (acne/speckle).  The frame must sit where rays travel:
+    # the per-axis MEDIAN of sphere centers (robust to giant-sphere
+    # outliers — a bbox center would land halfway into the ground
+    # sphere, making |o'| ~ 50 and |kappa| ~ |c'|^2 - r^2 huge).  A
+    # giant sphere's kappa then stays small because rays fly near its
+    # surface: |c'| ~ r.  Winner constants stay in world space, and
+    # box/triangle tests are Sterbenz-safe subtractions needing no
+    # shift.
+    _cc = centers[rest] if rest.size else centers
+    if _cc.shape[0]:
+        # f64 arithmetic, bit-identical to pack_culled_scene's shift so
+        # the baked and dynamic kernels keep matching rounding.
+        shift = tuple(np.median(_cc.astype(np.float64), axis=0))
+    else:
+        shift = (0.0, 0.0, 0.0)
+
     def hint_dist(lo, hi):
         # Squared distance from the camera hint to the nearest point of
         # the AABB: 0 when the eye is inside the box.
@@ -752,22 +778,35 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             # negative discriminant propagates NaN through sqrt, and NaN
             # compares false in `better`, replacing the disc>=0 select.
             # The quadratic is expanded around baked per-sphere
-            # constants: kappa = |c|^2 - r^2 in exact f64 at bake time
-            # (killing the classic |o-c|^2 - r^2 cancellation on the
-            # giant ground sphere); dd_o/oo2 are per-ray invariants CSE
-            # collapses across cluster entries:
-            #   -b = d.c - d.o ;  c_q = (|o|^2 + kappa) - o.(2c)
-            dd_o = dx * ox + dy * oy + dz * oz
-            oo2 = ox * ox + oy * oy + oz * oz
+            # constants, in the scene-centered frame (c' = c - shift,
+            # o' = o - shift; t is translation invariant): kappa =
+            # |c'|^2 - r^2 in exact f64 at bake time, and centering
+            # bounds |c'| by the scene extent so the expansion's
+            # cancellation (error ~ eps * |c'|^2) stays below f32
+            # noise even for scenes far from the world origin.
+            # dd_o/oo2 are per-ray invariants CSE collapses across
+            # cluster entries:
+            #   -b = d.c' - d.o' ;  c_q = (|o'|^2 + kappa) - o'.(2c')
+            oxp = ox - shift[0]
+            oyp = oy - shift[1]
+            ozp = oz - shift[2]
+            dd_o = dx * oxp + dy * oyp + dz * ozp
+            oo2 = oxp * oxp + oyp * oyp + ozp * ozp
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
             texc = list(carry[15:])
             for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts in sph:
-                kappa = float(np.float64(cx) * cx + np.float64(cy) * cy
-                              + np.float64(cz) * cz - np.float64(r) * r)
-                nb = (dx * cx + dy * cy + dz * cz) - dd_o
-                c_q = (oo2 + kappa) - (ox * (2.0 * cx) + oy * (2.0 * cy)
-                                       + oz * (2.0 * cz))
+                cxp = float(np.float64(cx) - shift[0])
+                cyp = float(np.float64(cy) - shift[1])
+                czp = float(np.float64(cz) - shift[2])
+                kappa = float((np.float64(cx) - shift[0]) ** 2
+                              + (np.float64(cy) - shift[1]) ** 2
+                              + (np.float64(cz) - shift[2]) ** 2
+                              - np.float64(r) * r)
+                nb = (dx * cxp + dy * cyp + dz * czp) - dd_o
+                c_q = (oo2 + kappa) - (oxp * (2.0 * cxp)
+                                       + oyp * (2.0 * cyp)
+                                       + ozp * (2.0 * czp))
                 disc = nb * nb - c_q
                 sq = jnp.sqrt(disc)          # NaN when disc < 0
                 t1 = nb - sq
@@ -1042,6 +1081,16 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         rest = np.zeros((0,), np.int64)
     order = rest[_morton_order(centers[rest])] if rest.size else rest
 
+    # Conditioning shift for the expanded quadratic (same reasoning and
+    # bit-identical rule as baked_culled_intersect): the per-axis
+    # median of sphere centers keeps the frame where rays travel and is
+    # robust to giant-sphere outliers.
+    _cc = centers[rest] if rest.size else centers
+    if _cc.shape[0]:
+        sh = np.median(_cc.astype(np.float64), axis=0)
+    else:
+        sh = np.zeros(3, np.float64)
+
     def rows(idx, pad_to):
         n = idx.size
         out = np.full((max(pad_to, ((n + 7) // 8) * 8), 16), np.nan,
@@ -1052,16 +1101,17 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         out[:n, 7] = fuzz[idx]
         out[:n, 8] = refract[idx]
         out[:n, 9] = mat[idx]
-        # Quadratic-slimming columns (see sphere_block): kappa =
-        # |c|^2 - r^2 in exact f64 (kills the cancellation on giant
-        # spheres), 1/r (replaces a per-sphere divide), 2c (folds the
-        # doubling into the table).  Padding rows stay NaN, which can
-        # never win the nearest-hit select.
-        c64 = centers[idx].astype(np.float64)
+        # Quadratic-slimming columns (see sphere_block), all in the
+        # scene-centered frame c' = c - shift: kappa = |c'|^2 - r^2 in
+        # exact f64, 1/r (replaces a per-sphere divide), 2c' (the
+        # kernel reconstructs d.c' with a pre-halved direction).
+        # Padding rows stay NaN, which can never win the nearest-hit
+        # select.
+        c64 = centers[idx].astype(np.float64) - sh
         out[:n, 10] = (np.sum(c64 * c64, axis=1)
                        - radii[idx].astype(np.float64) ** 2)
         out[:n, 11] = 1.0 / radii[idx]
-        out[:n, 12:15] = 2.0 * centers[idx]
+        out[:n, 12:15] = 2.0 * c64
         return out
 
     g_tab = rows(g_idx, 8)
@@ -1090,7 +1140,11 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     scn = np.concatenate([g_tab] + clu_tabs) if clu_tabs else g_tab
     clu = (np.stack(aabbs) if aabbs
            else np.zeros((1, 8), np.float32))
-    slab = np.zeros((1, 8), np.float32)
+    # Row 0: cluster-slab AABB (exit cap).  Row 1: the conditioning
+    # shift, read by the kernel to move ray origins into the
+    # scene-centered frame.
+    slab = np.zeros((2, 8), np.float32)
+    slab[1, 0:3] = sh
     if order.size:
         slab[0, 0:3] = (centers[order] - radii[order, None]).min(axis=0)
         slab[0, 3:6] = (centers[order] + radii[order, None]).max(axis=0)
@@ -1178,24 +1232,31 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     nfld = 15 if has_tris else 11
 
     def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
-                     dd_o=None, oo2=None):
+                     quad=None):
         # Issue-rate-slimmed quadratic on table columns (see
-        # pack_culled_scene.rows): kappa/2c/inv_r are precomputed, the
-        # per-ray invariants dd_o = d.o and oo2 = |o|^2 are hoisted by
-        # the caller, directions are unit (a == 1), and a negative
-        # discriminant propagates NaN, which never wins a compare.
-        if dd_o is None:
-            dd_o = dx * ox + dy * oy + dz * oz
-        if oo2 is None:
-            oo2 = ox * ox + oy * oy + oz * oz
+        # pack_culled_scene.rows), evaluated in the scene-centered
+        # frame the table was packed in (cols 10/12-14 are kappa and
+        # 2c' around the shift in slab row 1): ``quad`` carries the
+        # caller-hoisted per-ray invariants (o' = o - shift, d/2,
+        # d.o', |o'|^2).  d.c' comes from the 2c' column with the
+        # pre-halved direction, so the shift costs nothing per sphere.
+        # Directions are unit (a == 1) and a negative discriminant
+        # propagates NaN, which never wins a compare.
+        if quad is None:
+            quad = (ox, oy, oz, 0.5 * dx, 0.5 * dy, 0.5 * dz,
+                    dx * ox + dy * oy + dz * oz,
+                    ox * ox + oy * oy + oz * oz)
+        oxp, oyp, ozp, hdx, hdy, hdz, dd_o, oo2 = quad
         for j in range(8):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt) = carry[:11]
             rest = carry[11:]
             cx, cy, cz = blk[j, 0], blk[j, 1], blk[j, 2]
-            nb = (dx * cx + dy * cy + dz * cz) - dd_o
-            c_q = (oo2 + blk[j, 10]) - (ox * blk[j, 12] + oy * blk[j, 13]
-                                        + oz * blk[j, 14])
+            nb = (hdx * blk[j, 12] + hdy * blk[j, 13]
+                  + hdz * blk[j, 14]) - dd_o
+            c_q = (oo2 + blk[j, 10]) - (oxp * blk[j, 12]
+                                        + oyp * blk[j, 13]
+                                        + ozp * blk[j, 14])
             disc = nb * nb - c_q
             sq = jnp.sqrt(disc)          # NaN when disc < 0
             t1 = nb - sq
@@ -1273,12 +1334,19 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
-        dd_o = dx * ox + dy * oy + dz * oz
-        oo2 = ox * ox + oy * oy + oz * oz
+        # Per-ray quadratic invariants in the scene-centered frame
+        # (shift in slab row 1; see pack_culled_scene).
+        srow = slab_ref[1]
+        oxp = ox - srow[0]
+        oyp = oy - srow[1]
+        ozp = oz - srow[2]
+        quad = (oxp, oyp, ozp, 0.5 * dx, 0.5 * dy, 0.5 * dz,
+                dx * oxp + dy * oyp + dz * ozp,
+                oxp * oxp + oyp * oyp + ozp * ozp)
 
         def sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz):
             return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
-                                dd_o=dd_o, oo2=oo2)
+                                quad=quad)
 
         def box_range(lo, hi):
             tx0 = (lo[0] - ox) * idx_
@@ -1569,14 +1637,21 @@ def _persistent_impl(
                     out = jnp.where(masks[o], q, out)
                 return out
 
-            pix_c, xs_c, ys_c = pick(pix), pick(xs), pick(ys)
+            # soff rotates WITH the pixel identity: under lane_split a
+            # tile can straddle a split-replica boundary (soff varies
+            # within a fully-valid tile), and the (pixel, sample)
+            # stream being traced belongs to the source lane slot —
+            # rotating pix but not soff would trace some streams twice
+            # and others never.
+            pix_c, xs_c, ys_c, soff_c = (pick(pix), pick(xs), pick(ys),
+                                         pick(soff))
         else:
             masks = [None]
-            pix_c, xs_c, ys_c = pix, xs, ys
+            pix_c, xs_c, ys_c, soff_c = pix, xs, ys, soff
 
         # Restart finished lanes on their next sample.
         start = (~alive) & (s_lane < n_samples)
-        sample = sample_base + soff + s_lane
+        sample = sample_base + soff_c + s_lane
         gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
             xs_c, ys_c, pix_c, frame, sample, cam_ref)
         if "dbl_raygen" in PROBE:  # perf probe: CSE-proof recompute
@@ -1652,8 +1727,8 @@ def _persistent_impl(
         img_texs = getattr(intersect_fn, "image_textures", ())
         if img_texs:
             b_ar, b_ag, b_ab = _apply_image_textures(
-                img_texs, hit, b_cx, b_cy, b_cz, p_x, p_y, p_z,
-                b_ar, b_ag, b_ab)
+                img_texs, hit, b_cx, b_cy, b_cz, b_inv_r, tri_fields[3],
+                p_x, p_y, p_z, b_ar, b_ag, b_ab)
 
         ox = jnp.where(hit, p_x, ox)
         oy = jnp.where(hit, p_y, oy)
