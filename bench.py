@@ -25,7 +25,8 @@ BASELINE_MRAYS = 1000.0
 def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
                warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32,
-               lane_split: int = 1, rotate_cols: int = 1):
+               lane_split: int = 1, rotate_cols: int = 1,
+               rr_start: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         engine=engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=block_tiles,
         lane_split=lane_split, lane_rotate_cols=rotate_cols,
+        rr_start_bounce=rr_start,
     )
     triangles = None
     if scene_name == "mesh_demo":
@@ -109,6 +111,8 @@ def main() -> None:
                    help="fused: split each pixel's samples over K lanes")
     p.add_argument("--rotate-cols", type=int, default=1,
                    help="fused: column phases for lane rotation")
+    p.add_argument("--rr", type=int, default=0,
+                   help="Russian roulette start bounce (0 = off)")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
@@ -143,8 +147,11 @@ def main() -> None:
                             args.engine, args.intersector, args.max_bounces,
                             clusters=args.clusters, block_tiles=args.block_tiles,
                             lane_split=args.lane_split,
-                            rotate_cols=args.rotate_cols)
+                            rotate_cols=args.rotate_cols,
+                            rr_start=args.rr)
 
+    print(f"timing: {result['rays']/1e6:.0f} Mrays in "
+          f"{result['seconds']:.2f}s", file=sys.stderr)
     value = result["mrays_per_s"]
     print(json.dumps({
         "metric": f"Mrays/sec/chip extend+shade ({result['config']}, {result['scene']})",

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-tiles", type=int, default=32,
                    help="fused: NxN pixel blocks per ray tile for cull "
                         "coherence (0 = linear pixel order)")
+    p.add_argument("--rr", type=int, default=0, metavar="BOUNCE",
+                   help="Russian roulette from the given surface event "
+                        "on (0 = off, the reference's trace-to-cap "
+                        "semantics; unbiased, faster convergence on "
+                        "bounce-heavy scenes)")
     # Camera (defaults = reference main.rs:23-32 book-one-final camera).
     p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
     p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
@@ -169,6 +174,7 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
         baked_clusters=args.clusters, block_tiles=args.block_tiles,
+        rr_start_bounce=args.rr,
     )
 
     stage_timer = None

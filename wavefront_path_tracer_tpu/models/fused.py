@@ -402,6 +402,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
+            rr_start=config.rr_start_bounce,
         )
     elif dyn_tables is not None:
         ngb, ncl, ntc, csize = dyn_static
@@ -411,6 +412,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             cluster_size=csize, rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
+            rr_start=config.rr_start_bounce,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -421,6 +423,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
+            rr_start=config.rr_start_bounce,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

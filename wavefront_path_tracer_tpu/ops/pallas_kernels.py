@@ -49,6 +49,7 @@ _U32_TO_F32 = 2.3283064365387e-10
 _PI = 3.1415927
 _SAMPLE_STRIDE = 0x9E3779B9
 _BOUNCE_STRIDE = 0x85EBCA6B
+_RR_SALT = 0x52455252  # ops/rng.py:rr_state — independent roulette stream
 
 
 # Perf-probe flags (exp/iterprobe.py): trace-time duplication of one
@@ -1480,7 +1481,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
 
 def make_persistent_tile(intersect_fn=None, rotate: bool = True,
-                         rotate_cols: int = 1):
+                         rotate_cols: int = 1, rr_start: int = 0):
     """Build the persistent-lane kernel.
 
     With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
@@ -1505,7 +1506,7 @@ def make_persistent_tile(intersect_fn=None, rotate: bool = True,
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
-                         rotate_cols=rotate_cols)
+                         rotate_cols=rotate_cols, rr_start=rr_start)
 
     return kernel
 
@@ -1522,6 +1523,7 @@ def _persistent_impl(
     rad_r_o, rad_g_o, rad_b_o, rays_o,  # (rows, 128) f32
     rotate: bool = True,
     rotate_cols: int = 1,
+    rr_start: int = 0,
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
 
@@ -1740,6 +1742,26 @@ def _persistent_impl(
         tg = jnp.where(hit, tg * b_ag, tg)
         tb = jnp.where(hit, tb * b_ab, tb)
         bounce = bounce + _u32(1)
+        if rr_start:
+            # Russian roulette from surface event rr_start on
+            # (unbiased; same independently salted stream as the XLA
+            # engines — ops/rng.py:rr_state — so rr-off renders are
+            # bit-identical with or without this code).
+            rrb = _jenkins(pix_c ^ _jenkins(jnp.broadcast_to(frame, shape)))
+            st = _jenkins((rrb + sample * _u32(_SAMPLE_STRIDE)
+                           + bounce * _u32(_BOUNCE_STRIDE))
+                          ^ _u32(_RR_SALT))
+            st, u_rr = _next_f32(st)
+            keep_p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
+                              0.05, 1.0)
+            active = hit & (bounce >= _u32(rr_start))
+            survive = (~active) | (u_rr < keep_p)
+            comp = active & survive
+            inv_p = 1.0 / keep_p
+            tr = jnp.where(comp, tr * inv_p, tr)
+            tg = jnp.where(comp, tg * inv_p, tg)
+            tb = jnp.where(comp, tb * inv_p, tb)
+            hit = hit & survive
         # A path dies on miss or at the bounce cap; its lane moves on.
         still_alive = hit & (bounce < max_bounces)
         died = alive & ~still_alive
@@ -1787,7 +1809,8 @@ def _persistent_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows", "interpret", "rotate", "rotate_cols"))
+    static_argnames=("rows", "interpret", "rotate", "rotate_cols",
+                     "rr_start"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -1798,6 +1821,7 @@ def fused_render_persistent(
     interpret: bool = False,
     rotate: bool = True,
     rotate_cols: int = 1,
+    rr_start: int = 0,
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
 
@@ -1816,7 +1840,8 @@ def fused_render_persistent(
 
     f32 = jnp.float32
     outs = pl.pallas_call(
-        make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols),
+        make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols,
+                             rr_start=rr_start),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1836,7 +1861,7 @@ def fused_render_persistent(
 @functools.partial(
     jax.jit,
     static_argnames=("baked_fn", "rows", "interpret", "rotate",
-                     "rotate_cols"),
+                     "rotate_cols", "rr_start"),
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -1847,6 +1872,7 @@ def fused_render_baked(
     interpret: bool = False,
     rotate: bool = True,
     rotate_cols: int = 1,
+    rr_start: int = 0,
 ):
     """Persistent-lane render with the scene baked into the kernel."""
     total_rows = pix.shape[0]
@@ -1861,7 +1887,7 @@ def fused_render_baked(
     f32 = jnp.float32
     outs = pl.pallas_call(
         make_persistent_tile(baked_fn, rotate=rotate,
-                             rotate_cols=rotate_cols),
+                             rotate_cols=rotate_cols, rr_start=rr_start),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1880,7 +1906,7 @@ def fused_render_baked(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
                      "cluster_size", "rows", "interpret", "rotate",
-                     "rotate_cols"),
+                     "rotate_cols", "rr_start"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -1896,6 +1922,7 @@ def fused_render_dynculled(
     interpret: bool = False,
     rotate: bool = True,
     rotate_cols: int = 1,
+    rr_start: int = 0,
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -1921,7 +1948,7 @@ def fused_render_dynculled(
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
-                         rotate_cols=rotate_cols)
+                         rotate_cols=rotate_cols, rr_start=rr_start)
 
     outs = pl.pallas_call(
         kernel,

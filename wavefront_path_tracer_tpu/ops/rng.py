@@ -124,6 +124,21 @@ def stream_state(pixel_idx: jnp.ndarray, frame, sample, bounce) -> jnp.ndarray:
     return jenkins_hash(mixed)
 
 
+_RR_SALT = 0x52455252
+
+
+def rr_state(pixel_idx: jnp.ndarray, frame, sample, bounce) -> jnp.ndarray:
+    """Russian-roulette stream for the same event coordinates.
+
+    Salted independently of :func:`stream_state` so enabling roulette
+    never perturbs the scatter/reflectance draws — renders with
+    ``rr_start_bounce=0`` stay bit-identical to builds without RR."""
+    base = pixel_seed(pixel_idx, frame)
+    mixed = (base + _u32(sample) * _u32(_SAMPLE_STRIDE)
+             + _u32(bounce) * _u32(_BOUNCE_STRIDE))
+    return jenkins_hash(mixed ^ _u32(_RR_SALT))
+
+
 # --- sampling primitives (formulas mirror generate_rays.wgsl:107-131) ---
 
 

@@ -63,6 +63,14 @@ class RenderConfig:
     lane_rotate_cols: int = 1
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
+    # Russian roulette: 0 disables (default — matches the reference's
+    # always-trace-to-cap semantics); N > 0 starts unbiased roulette at
+    # the N-th surface event (continue with p = max throughput
+    # component, survivors compensated by 1/p).  The roulette draw uses
+    # an independently salted RNG stream, so rr-off renders are
+    # bit-identical with or without this feature.  Supported by all
+    # engines; cuts time-to-N-spp on bounce-heavy scenes.
+    rr_start_bounce: int = 0
     # Exact termination (0, default) vs the reference's lossy early
     # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
     # stops once a bounce produces fewer than N misses — the reference's

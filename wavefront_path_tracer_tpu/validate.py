@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--clusters", type=int, default=0)
+    p.add_argument("--rr", type=int, default=0,
+                   help="Russian roulette start bounce for the engine "
+                        "under test (0 = off)")
     p.add_argument("--test-platform", default=None,
                    help="device platform for the engine under test "
                         "(cpu | tpu; default = process default)")
@@ -149,7 +152,7 @@ def main(argv=None) -> int:
     with _device_ctx(args.test_platform):
         test = render(scene, cc, base.replace(
             engine=args.engine, intersector=args.intersector,
-            baked_clusters=args.clusters,
+            baked_clusters=args.clusters, rr_start_bounce=args.rr,
             samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
