@@ -1,6 +1,7 @@
 """Russian roulette (rr_start_bounce): unbiasedness + engine parity."""
 
 import numpy as np
+import pytest
 
 from wavefront_path_tracer_tpu.renderer import render
 
@@ -21,14 +22,23 @@ def test_rr_unbiased_mean(book_cover_scene):
     assert abs(m_on - m_off) / m_off < 0.02
 
 
-def test_rr_off_is_default_identical(book_cover_scene):
-    """rr_start_bounce=0 must not perturb any RNG stream (the roulette
-    draw is independently salted and untraced when off)."""
+def test_rr_inactive_is_identical(book_cover_scene):
+    """A compiled-in roulette that never activates (start bounce past
+    the bounce cap) is bit-identical to the rr-off render: the draw is
+    independently salted, so the scatter/reflectance streams are
+    untouched and no survivor's throughput is rescaled."""
     cfg = BASE.replace(engine="megakernel")
-    a = render(book_cover_scene, _cover_camera(), cfg)
-    b = render(book_cover_scene, _cover_camera(),
-               cfg.replace(rr_start_bounce=0))
-    np.testing.assert_array_equal(a.accumulated, b.accumulated)
+    off = render(book_cover_scene, _cover_camera(), cfg)
+    on = render(book_cover_scene, _cover_camera(),
+                cfg.replace(rr_start_bounce=cfg.max_bounces + 1))
+    np.testing.assert_array_equal(off.accumulated, on.accumulated)
+
+
+def test_rr_negative_rejected():
+    """Negative start bounces are rejected at config construction (the
+    engines would otherwise silently disagree: int compare vs u32 cast)."""
+    with pytest.raises(ValueError, match="rr_start_bounce"):
+        BASE.replace(rr_start_bounce=-1)
 
 
 def test_rr_engines_agree(book_cover_scene):

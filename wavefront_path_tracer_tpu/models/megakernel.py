@@ -72,19 +72,12 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         origin = jnp.where(hit_alive[:, None], p, origin)
         direction = jnp.where(hit_alive[:, None], new_dir, direction)
         if config.rr_start_bounce:
-            # Russian roulette (unbiased): from surface event
-            # rr_start_bounce on, continue with p = max throughput
-            # component (floored) and compensate the survivors.  The
-            # draw comes from an independently salted stream, so
-            # rr-off renders are untouched (ops/rng.py:rr_state).
-            _, u = rng.next_f32(
-                rng.rr_state(pixel_idx, frame, sample, bounce + 1))
-            keep_p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
-            active = hit_alive & (bounce + 1 >= config.rr_start_bounce)
-            survive = (~active) | (u < keep_p)
-            throughput = jnp.where((active & survive)[:, None],
-                                   throughput / keep_p[:, None], throughput)
-            hit_alive = hit_alive & survive
+            # Russian roulette (unbiased): shared helper so the stream
+            # and semantics match the wavefront engine bit-exactly
+            # (ops/rng.py:roulette).
+            throughput, hit_alive = rng.roulette(
+                pixel_idx, frame, sample, bounce + 1, throughput,
+                hit_alive, config.rr_start_bounce)
         return bounce + 1, origin, direction, throughput, radiance, hit_alive, rays
 
     state = (jnp.int32(0), origin, direction, throughput, radiance, alive, jnp.int32(0))

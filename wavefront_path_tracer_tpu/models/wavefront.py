@@ -165,18 +165,13 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         q_origin = jnp.where(hit[:, None], p, q_origin)
         q_dir = jnp.where(hit[:, None], new_dir, q_dir)
         if config.rr_start_bounce:
-            # Russian roulette, identical stream/semantics to the
-            # megakernel (keyed by pixel, so compaction order is
-            # irrelevant); unbiased: survivors compensated by 1/p.
-            _, u = rng.next_f32(
-                rng.rr_state(q_pixel, frame, sample, bounce + 1))
-            keep_p = jnp.clip(jnp.max(q_throughput, axis=-1), 0.05, 1.0)
-            active = hit & (bounce + 1 >= config.rr_start_bounce)
-            survive = (~active) | (u < keep_p)
-            q_throughput = jnp.where(
-                (active & survive)[:, None],
-                q_throughput / keep_p[:, None], q_throughput)
-            hit = hit & survive
+            # Russian roulette via the shared helper
+            # (ops/rng.py:roulette) — keyed by pixel, so compaction
+            # order is irrelevant and the megakernel stream matches
+            # bit-exactly.
+            q_throughput, hit = rng.roulette(
+                q_pixel, frame, sample, bounce + 1, q_throughput, hit,
+                config.rr_start_bounce)
 
         # Compact: survivors to the queue front (replaces atomic appends
         # + the extension-buffer move, path_tracer.rs:348).  With

@@ -1232,21 +1232,18 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     has_tris = n_tri_clusters > 0
     nfld = 15 if has_tris else 11
 
-    def sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
-                     quad=None):
+    def sphere_block(blk, carry, quad):
         # Issue-rate-slimmed quadratic on table columns (see
         # pack_culled_scene.rows), evaluated in the scene-centered
         # frame the table was packed in (cols 10/12-14 are kappa and
         # 2c' around the shift in slab row 1): ``quad`` carries the
         # caller-hoisted per-ray invariants (o' = o - shift, d/2,
-        # d.o', |o'|^2).  d.c' comes from the 2c' column with the
-        # pre-halved direction, so the shift costs nothing per sphere.
+        # d.o', |o'|^2) and is REQUIRED — the table columns are in the
+        # shifted frame, so world-frame invariants would silently mix
+        # frames.  d.c' comes from the 2c' column with the pre-halved
+        # direction, so the shift costs nothing per sphere.
         # Directions are unit (a == 1) and a negative discriminant
         # propagates NaN, which never wins a compare.
-        if quad is None:
-            quad = (ox, oy, oz, 0.5 * dx, 0.5 * dy, 0.5 * dz,
-                    dx * ox + dy * oy + dz * oz,
-                    ox * ox + oy * oy + oz * oz)
         oxp, oyp, ozp, hdx, hdy, hdz, dd_o, oo2 = quad
         for j in range(8):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
@@ -1346,8 +1343,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                 oxp * oxp + oyp * oyp + ozp * ozp)
 
         def sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz):
-            return sphere_block(blk, carry, ox, oy, oz, dx, dy, dz,
-                                quad=quad)
+            return sphere_block(blk, carry, quad)
 
         def box_range(lo, hi):
             tx0 = (lo[0] - ox) * idx_

@@ -139,6 +139,28 @@ def rr_state(pixel_idx: jnp.ndarray, frame, sample, bounce) -> jnp.ndarray:
     return jenkins_hash(mixed ^ _u32(_RR_SALT))
 
 
+def roulette(pixel_idx, frame, sample, bounce, throughput, alive,
+             start_bounce: int):
+    """Unbiased Russian roulette at one surface event; returns
+    ``(throughput, alive)``.
+
+    Shared by the megakernel and wavefront engines so the stream and
+    semantics stay bit-identical by construction (the fused Pallas
+    kernel carries its own Mosaic-side copy of the same formula).  From
+    surface event ``start_bounce`` on, paths continue with
+    ``p = clip(max(throughput), 0.05, 1)`` and survivors are
+    compensated by ``1/p``; the draw uses :func:`rr_state`, so renders
+    where roulette never activates are untouched.
+    """
+    _, u = next_f32(rr_state(pixel_idx, frame, sample, bounce))
+    keep_p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+    active = alive & (bounce >= start_bounce)
+    survive = (~active) | (u < keep_p)
+    throughput = jnp.where((active & survive)[:, None],
+                           throughput / keep_p[:, None], throughput)
+    return throughput, alive & survive
+
+
 # --- sampling primitives (formulas mirror generate_rays.wgsl:107-131) ---
 
 

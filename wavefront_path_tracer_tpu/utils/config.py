@@ -77,6 +77,18 @@ class RenderConfig:
     # exact quantity (its literal is 128).
     drain_threshold: int = 0
 
+    def __post_init__(self) -> None:
+        # A negative start bounce would silently diverge the engines:
+        # XLA engines treat it as "always active" (int compare) while
+        # the fused kernel's u32 cast makes it "never active".
+        if self.rr_start_bounce < 0:
+            raise ValueError(
+                f"rr_start_bounce must be >= 0, got {self.rr_start_bounce} "
+                "(0 disables Russian roulette)")
+        if self.drain_threshold < 0:
+            raise ValueError(
+                f"drain_threshold must be >= 0, got {self.drain_threshold}")
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height
