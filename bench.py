@@ -26,7 +26,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
                warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32,
                lane_split: int = 1, rotate_cols: int = 1,
-               rr_start: int = 0):
+               rr_start: int = 0, winner_hint: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         engine=engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=block_tiles,
         lane_split=lane_split, lane_rotate_cols=rotate_cols,
-        rr_start_bounce=rr_start,
+        rr_start_bounce=rr_start, winner_hint=winner_hint,
     )
     triangles = None
     if scene_name == "mesh_demo":
@@ -113,6 +113,8 @@ def main() -> None:
                    help="fused: column phases for lane rotation")
     p.add_argument("--rr", type=int, default=0,
                    help="Russian roulette start bounce (0 = off)")
+    p.add_argument("--winner-hint", action="store_true",
+                   help="fused/baked culled: winner-cluster shortlist")
     p.add_argument("--all", action="store_true", help="sweep engines/intersectors")
     args = p.parse_args()
 
@@ -148,7 +150,8 @@ def main() -> None:
                             clusters=args.clusters, block_tiles=args.block_tiles,
                             lane_split=args.lane_split,
                             rotate_cols=args.rotate_cols,
-                            rr_start=args.rr)
+                            rr_start=args.rr,
+                            winner_hint=args.winner_hint)
 
     print(f"timing: {result['rays']/1e6:.0f} Mrays in "
           f"{result['seconds']:.2f}s", file=sys.stderr)

@@ -63,6 +63,34 @@ def test_baked_cluster_culling_matches(book_cover_scene, oracle):
     _statistically_equal(fz, oracle)
 
 
+def test_winner_hint_matches(book_cover_scene, oracle):
+    """The winner-cluster shortlist only reorders cluster iteration
+    (prepassed clusters are excluded from the main sweep), so the
+    render stays statistically identical to the plain culled sweep and
+    to the oracle."""
+    cfg = BASE.replace(engine="fused", intersector="baked",
+                       baked_clusters=2)
+    plain = render(book_cover_scene, _cover_camera(), cfg)
+    hinted = render(book_cover_scene, _cover_camera(),
+                    cfg.replace(winner_hint=True))
+    _statistically_equal(hinted, plain)
+    _statistically_equal(hinted, oracle)
+
+
+def test_winner_hint_hierarchy_matches():
+    """Shortlist + the engaged two-level hierarchy (globals, supers,
+    slab cap) still conservative on a bigger procedural scene."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=96, seed=3)
+    cfg = BASE.replace(engine="fused", intersector="baked",
+                       samples_per_pixel=2, samples_per_frame=2,
+                       baked_clusters=8)
+    plain = render(scene, _cover_camera(), cfg)
+    hinted = render(scene, _cover_camera(), cfg.replace(winner_hint=True))
+    _statistically_equal(hinted, plain)
+
+
 def test_culled_hierarchy_matches_unculled_spheres():
     """With enough spheres the two-level hierarchy actually engages
     (globals split, Morton clusters, slab cap); culling must be

@@ -45,7 +45,7 @@ def test_rr_engines_agree(book_cover_scene):
     """megakernel and wavefront share the roulette stream bit-exactly;
     the fused kernel matches statistically (Mosaic float ULPs)."""
     cfg = BASE.replace(samples_per_pixel=4, samples_per_frame=4,
-                       rr_start_bounce=2)
+                       rr_start_bounce=2, rr_floor=0.3)
     mk = render(book_cover_scene, _cover_camera(),
                 cfg.replace(engine="megakernel"))
     wf = render(book_cover_scene, _cover_camera(),

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clusters", type=int, default=0,
                    help="fused/baked: leaf cluster size for hierarchical "
                         "consensus culling (0 = brute force)")
+    p.add_argument("--winner-hint", action="store_true",
+                   help="fused/baked culled: prepass-test each lane's "
+                        "last winner cluster to tighten the cull cap "
+                        "for incoherent bounce rays")
     p.add_argument("--block-tiles", type=int, default=32,
                    help="fused: NxN pixel blocks per ray tile for cull "
                         "coherence (0 = linear pixel order)")
@@ -62,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "on (0 = off, the reference's trace-to-cap "
                         "semantics; unbiased, faster convergence on "
                         "bounce-heavy scenes)")
+    p.add_argument("--rr-floor", type=float, default=0.05, metavar="P",
+                   help="roulette survival floor: continue probability "
+                        "is clip(max(throughput), P, 1); higher = fewer "
+                        "fireflies, more rays (default 0.05)")
     # Camera (defaults = reference main.rs:23-32 book-one-final camera).
     p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
     p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
@@ -174,7 +182,8 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
         baked_clusters=args.clusters, block_tiles=args.block_tiles,
-        rr_start_bounce=args.rr,
+        winner_hint=args.winner_hint,
+        rr_start_bounce=args.rr, rr_floor=args.rr_floor,
     )
 
     stage_timer = None

@@ -159,7 +159,8 @@ def _bake_image_luts(scene_arrays, centers):
     return tuple(imgs)
 
 
-def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
+def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
+              winner_hint: bool = False):
     centers = np.asarray(scene_arrays["centers"])
     # Front-to-back cluster ordering hint (perf only — a stale order is
     # still correct).  Quantized to 1/8 of the scene extent for the
@@ -203,7 +204,8 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
                   "mat_type", "tex_kind", "tex_id", "tex_data")
         if k in scene_arrays
     ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
-    key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key)
+    key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key,
+           winner_hint)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         args = (
@@ -217,7 +219,8 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None):
         if clusters > 0:
             fn = baked_culled_intersect(*args, cluster_size=clusters,
                                         triangles=triangles, tex=tex,
-                                        camera_hint=camera_pos)
+                                        camera_hint=camera_pos,
+                                        winner_hint=winner_hint)
         else:
             fn = baked_intersect(*args, triangles=triangles, tex=tex)
         fn.image_textures = _bake_image_luts(scene_arrays, centers)
@@ -264,7 +267,8 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples,
             baked_fn=_baked_fn(scene_arrays, config.baked_clusters,
-                               camera_pos=_concrete_eye(view)),
+                               camera_pos=_concrete_eye(view),
+                               winner_hint=config.winner_hint),
             lane_split=split,
         )
     if "tex_kind" in scene_arrays and config.intersector != "baked":
@@ -310,7 +314,8 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     (its five kernels are one Pallas call here, so stage wall-µs don't
     exist; these are the measured quantities that do)."""
     baked_fn = (_baked_fn(scene_arrays, config.baked_clusters,
-                          camera_pos=_concrete_eye(view))
+                          camera_pos=_concrete_eye(view),
+                          winner_hint=config.winner_hint)
                 if config.intersector == "baked" else None)
     dyn = None
     dyn_static = None
@@ -403,6 +408,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
+            rr_floor=config.rr_floor,
         )
     elif dyn_tables is not None:
         ngb, ncl, ntc, csize = dyn_static
@@ -413,6 +419,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
+            rr_floor=config.rr_floor,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -424,6 +431,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
+            rr_floor=config.rr_floor,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

@@ -77,7 +77,7 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             # (ops/rng.py:roulette).
             throughput, hit_alive = rng.roulette(
                 pixel_idx, frame, sample, bounce + 1, throughput,
-                hit_alive, config.rr_start_bounce)
+                hit_alive, config.rr_start_bounce, config.rr_floor)
         return bounce + 1, origin, direction, throughput, radiance, hit_alive, rays
 
     state = (jnp.int32(0), origin, direction, throughput, radiance, alive, jnp.int32(0))

@@ -171,7 +171,7 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
             # bit-exactly.
             q_throughput, hit = rng.roulette(
                 q_pixel, frame, sample, bounce + 1, q_throughput, hit,
-                config.rr_start_bounce)
+                config.rr_start_bounce, config.rr_floor)
 
         # Compact: survivors to the queue front (replaces atomic appends
         # + the extension-buffer move, path_tracer.rs:348).  With

@@ -579,7 +579,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            global_radius_factor: float = 10.0,
                            triangles=None, tex=None,
                            camera_hint=None, refresh: int = 16,
-                           super_gate: int = 48):
+                           super_gate: int = 48,
+                           winner_hint: bool = False):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -630,6 +631,20 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     starting inside a box get entry 0; in-slab hits are bounded by the
     slab exit), so results equal the brute-force kernel up to
     primitive-iteration order.
+
+    **Winner-hint shortlist** (``winner_hint=True``): incoherent bounce
+    rays defeat the front-to-back cap refresh (no shared "front"), so
+    half the clusters get entered at the 1080p headline.  Paths are
+    temporally coherent though: a lane's next segment usually hits the
+    same neighborhood it just hit.  With the flag on, each winner
+    carries its cluster id; the caller feeds the previous iteration's
+    ids back as ``hint`` and the sweep *prepass-tests* exactly those
+    clusters first, so the consensus cap is tight with the true nearest
+    hits before the main sweep's conds are evaluated (prepassed
+    clusters are excluded from the main sweep — each cluster is tested
+    at most once, results unchanged up to iteration order).  The
+    intersect then returns one extra plane (this iteration's winner
+    ids) ahead of the cull stats.
     """
     import numpy as np
 
@@ -646,7 +661,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     else:
         t_a2 = np.zeros((centers.shape[0], 3), np.float32)
         t_ts = np.zeros((centers.shape[0],), np.float32)
-    nf = 19 if textured else 15  # carried winner fields
+    # Carried winner fields: 15 base, +4 texture, +1 winner-cluster id.
+    nf = (19 if textured else 15) + (1 if winner_hint else 0)
 
     def rows(idx):
         return [
@@ -694,12 +710,14 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                   lo), hi)
         return float(np.sum((p - camera_hint) ** 2))
 
-    def build_hierarchy(aabb_lo, aabb_hi, items):
+    def build_hierarchy(aabb_lo, aabb_hi, items, id_base=0):
         """Morton-ordered clusters + supers + slab over per-item AABBs.
 
         Cluster/super *membership* follows Morton order (tight boxes);
         with a camera hint, the *visit order* is nearest-box-first at
-        both levels (clusters re-sorted within their super)."""
+        both levels (clusters re-sorted within their super).  Each
+        cluster carries a unique float id (``id_base`` offsets the
+        namespace across hierarchies) for the winner-hint shortlist."""
         clusters = []
         for start in range(0, len(items), cluster_size):
             idx = slice(start, start + cluster_size)
@@ -707,21 +725,22 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             hi = aabb_hi[idx].max(axis=0)
             clusters.append((lo.tolist(), hi.tolist(),
                              items[start:start + cluster_size],
+                             float(id_base + start // cluster_size),
                              hint_dist(lo, hi) if camera_hint is not None
                              else float(start)))
         supers = []
         for start in range(0, len(clusters), super_factor):
-            grp = [c[:3] for c in
+            grp = [c[:4] for c in
                    sorted(clusters[start:start + super_factor],
-                          key=lambda c: c[3])]
+                          key=lambda c: c[4])]
             lo = np.min([c[0] for c in grp], axis=0)
             hi = np.max([c[1] for c in grp], axis=0)
             supers.append((lo.tolist(), hi.tolist(), grp,
                            hint_dist(lo, hi) if camera_hint is not None
                            else float(start)))
         supers.sort(key=lambda s: s[3])
-        clusters.sort(key=lambda c: c[3])
-        clusters = [c[:3] for c in clusters]
+        clusters.sort(key=lambda c: c[4])
+        clusters = [c[:4] for c in clusters]
         supers = [s[:3] for s in supers]
         slab = (aabb_lo.min(axis=0).tolist(), aabb_hi.max(axis=0).tolist())
         return clusters, supers, slab
@@ -757,18 +776,19 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         ]
         verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3, 3)
         tri_hier = build_hierarchy(
-            verts.min(axis=1), verts.max(axis=1), tris)
+            verts.min(axis=1), verts.max(axis=1), tris,
+            id_base=len(sph_hier[0]))
 
     any_tris = bool(tri_hier[0])
 
-    def intersect(ox, oy, oz, dx, dy, dz, alive=None):
+    def intersect(ox, oy, oz, dx, dy, dz, alive=None, hint=None):
         f32 = jnp.float32
         shape = ox.shape
         idx_ = 1.0 / dx
         idy_ = 1.0 / dy
         idz_ = 1.0 / dz
 
-        def sphere_tests(sph, carry, ox=ox, oy=oy, oz=oz):
+        def sphere_tests(sph, carry, ox=ox, oy=oy, oz=oz, cid=-1.0):
             # The ray-origin override args exist only for the perf
             # probe (a traced-zero shift defeats CSE so the quadratic
             # fully recomputes); production calls use the defaults.
@@ -795,7 +815,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             oo2 = oxp * oxp + oyp * oyp + ozp * ozp
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
-            texc = list(carry[15:])
+            texc = list(carry[15:19]) if textured else []
+            key = carry[nf - 1] if winner_hint else None
             for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts in sph:
                 cxp = float(np.float64(cx) - shift[0])
                 cyp = float(np.float64(cy) - shift[1])
@@ -842,13 +863,17 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                     else:
                         # A solid win must still disable the checker.
                         texc = texc[:3] + [jnp.where(better, 0.0, texc[3])]
+                if winner_hint:
+                    key = jnp.where(better, f32(cid), key)
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc)
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc) + (
+                        (key,) if winner_hint else ())
 
-        def tri_tests(items, carry):
+        def tri_tests(items, carry, cid=-1.0):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
-            texc = list(carry[15:])
+            texc = list(carry[15:19]) if textured else []
+            key = carry[nf - 1] if winner_hint else None
             for v0, e1, e2, nrm, alb, fz, ior, mt in items:
                 # Two-sided Moller-Trumbore, everything constant but the ray.
                 pvx = dy * e2[2] - dz * e2[1]
@@ -885,8 +910,11 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                     # Triangles are untextured (v1): a win disables the
                     # checker (scale 0).
                     texc = [jnp.where(better, 0.0, v) for v in texc]
+                if winner_hint:
+                    key = jnp.where(better, jnp.float32(cid), key)
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc)
+                    b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc) + (
+                        (key,) if winner_hint else ())
 
         def box_range(lo, hi):
             """(entry, exit) of the ray against an AABB (slab method)."""
@@ -927,6 +955,9 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
         )
         if textured:
             init = init + (f0, f0, f0, f0)
+        if winner_hint:
+            # This iteration's winner-cluster ids (-1 = global/none).
+            init = init + (jnp.full(shape, -1.0, f32),)
         carry = sphere_tests(global_rows, init)
         hierarchies = [(sph_hier, sphere_tests), (tri_hier, tri_tests)]
         hierarchies = [(h, fn) for h, fn in hierarchies if h[0]]
@@ -944,10 +975,44 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             sup_ref[:] = f0
             clu_ref[:] = f0
 
-            for (clusters, supers, slab), tests in hierarchies:
+            # Winner-hint prepass (see docstring): test the clusters
+            # that won for some live lane LAST iteration, before any
+            # main-sweep cond is evaluated — their true nearest hits
+            # tighten t_ref so the main sweep consensus-skips most of
+            # the rest.  The any() reduces are batched (they pipeline;
+            # an interleaved reduce+when stalls ~270 ns).
+            excludes = [None] * len(hierarchies)
+            if winner_hint and hint is not None:
+                excludes = []
+                for (clusters, _sup, _slab), tests in hierarchies:
+                    pres = []
+                    for _lo, _hi, _items, cid in clusters:
+                        m = hint == f32(cid)
+                        if alive is not None:
+                            m = m & alive
+                        pres.append(jnp.any(m))
+                    ex = {}
+                    for pc, (_lo, _hi, items, cid) in zip(pres, clusters):
+                        ex[cid] = pc
+
+                        @pl.when(pc)
+                        def _(items=items, cid=cid, tests=tests):
+                            clu_ref[:] = clu_ref[:] + 1.0
+                            if "hint_count" in PROBE:  # probe: prepass
+                                sup_ref[:] = sup_ref[:] + 1.0
+                            vals = tests(items,
+                                         tuple(r[:] for r in refs[:nf]),
+                                         cid=cid)
+                            for ref, val in zip(refs, vals):
+                                ref[:] = val
+                    excludes.append(ex)
+
+            for ((clusters, supers, slab), tests), exclude in zip(
+                    hierarchies, excludes):
                 t_exit = slab_exit(slab)
 
-                def run_clusters(grp, cap=None, tests=tests):
+                def run_clusters(grp, cap=None, tests=tests,
+                                 exclude=exclude):
                     # Software-pipelined consensus, ``refresh`` clusters
                     # per batch.  An any()+pl.when whose reduce was just
                     # issued stalls ~270 ns (vector->scalar pipeline);
@@ -958,13 +1023,13 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                     # (tightened by hits up to batch k-1); with
                     # front-to-back ordering a primary hit in an early
                     # batch still culls everything behind it.
-                    def conds_of(batch, bcap):
+                    def conds_raw(batch, bcap):
                         if "dbl_cond" in PROBE:   # perf probe only
                             bcap = bcap + (t_ref[0, 0] * 0.0)
                             return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
                                     & jnp.any(cluster_cond(
                                         c_lo, c_hi, bcap + 1e-30))
-                                    for c_lo, c_hi, _ in batch]
+                                    for c_lo, c_hi, *_ in batch]
                         if "dbl_cond2" in PROBE:  # perf probe: full box
                             # math recomputed (CSE-proof traced-zero
                             # shift of the box corners).
@@ -973,9 +1038,18 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                     & jnp.any(cluster_cond(
                                         [l + z for l in c_lo],
                                         [h + z for h in c_hi], bcap))
-                                    for c_lo, c_hi, _ in batch]
+                                    for c_lo, c_hi, *_ in batch]
                         return [jnp.any(cluster_cond(c_lo, c_hi, bcap))
-                                for c_lo, c_hi, _ in batch]
+                                for c_lo, c_hi, *_ in batch]
+
+                    def conds_of(batch, bcap):
+                        cs = conds_raw(batch, bcap)
+                        if exclude:
+                            # Prepassed clusters are already fully
+                            # tested against these rays: never re-enter.
+                            cs = [c & ~exclude[b[3]]
+                                  for c, b in zip(cs, batch)]
+                        return cs
 
                     batches = [grp[b0:b0 + refresh]
                                for b0 in range(0, len(grp), refresh)]
@@ -986,15 +1060,17 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                         if k + 1 < len(batches):
                             nxt = conds_of(batches[k + 1],
                                            jnp.minimum(t_ref[:], t_exit))
-                        for cond, (c_lo, c_hi, items) in zip(conds, batch):
+                        for cond, (c_lo, c_hi, items, cid) in zip(conds,
+                                                                  batch):
                             @pl.when(cond)
-                            def _(items=items, tests=tests):
+                            def _(items=items, tests=tests, cid=cid):
                                 clu_ref[:] = clu_ref[:] + 1.0
                                 vals = tests(items,
-                                             tuple(r[:] for r in refs[:nf]))
+                                             tuple(r[:] for r in refs[:nf]),
+                                             cid=cid)
                                 if "dbl_entry" in PROBE:  # perf probe:
                                     # idempotent re-test (same winners)
-                                    vals = tests(items, vals)
+                                    vals = tests(items, vals, cid=cid)
                                 if ("dbl_entry2" in PROBE
                                         and tests is sphere_tests):
                                     # CSE-proof re-test: traced-zero ray
@@ -1002,7 +1078,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                     # equal t never wins (strict <).
                                     z = t_ref[0, 0] * 0.0
                                     vals = tests(items, vals, ox=ox + z,
-                                                 oy=oy + z, oz=oz + z)
+                                                 oy=oy + z, oz=oz + z,
+                                                 cid=cid)
                                 for ref, val in zip(refs, vals):
                                     ref[:] = val
                         if k + 1 < len(batches):
@@ -1033,6 +1110,7 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
     intersect.returns_cull_stats = True
     intersect.has_textures = textured
+    intersect.returns_winner_key = winner_hint
     intersect.n_supers = len(sph_hier[1]) + len(tri_hier[1])
     intersect.n_clusters = len(sph_hier[0]) + len(tri_hier[0])
     return intersect
@@ -1477,7 +1555,8 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
 
 def make_persistent_tile(intersect_fn=None, rotate: bool = True,
-                         rotate_cols: int = 1, rr_start: int = 0):
+                         rotate_cols: int = 1, rr_start: int = 0,
+                         rr_floor: float = 0.05):
     """Build the persistent-lane kernel.
 
     With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
@@ -1502,7 +1581,8 @@ def make_persistent_tile(intersect_fn=None, rotate: bool = True,
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
-                         rotate_cols=rotate_cols, rr_start=rr_start)
+                         rotate_cols=rotate_cols, rr_start=rr_start,
+                         rr_floor=rr_floor)
 
     return kernel
 
@@ -1520,6 +1600,7 @@ def _persistent_impl(
     rotate: bool = True,
     rotate_cols: int = 1,
     rr_start: int = 0,
+    rr_floor: float = 0.05,
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
 
@@ -1564,6 +1645,7 @@ def _persistent_impl(
     shape = pix.shape
     has_stats = getattr(intersect_fn, "returns_cull_stats", False)
     has_tex = getattr(intersect_fn, "has_textures", False)
+    has_key = getattr(intersect_fn, "returns_winner_key", False)
     # Rotation depth: tile rows (power of two required by the & mask)
     # times the column phases.
     n_r = shape[0] if (rotate and shape[0] & (shape[0] - 1) == 0) else 1
@@ -1590,6 +1672,11 @@ def _persistent_impl(
         jnp.float32(0.0),             # live-ray count
         jnp.float32(0.0),             # bounce-loop iterations
         zeros, zeros,                 # cull stats: supers/clusters entered
+    ) + (
+        # Winner-hint feedback plane: last winner-cluster id per lane
+        # (-1 = none); persists across sample restarts — the previous
+        # sample's primary winner is a strong hint for the same pixel.
+        (jnp.full(shape, -1.0, jnp.float32),) if has_key else ()
     )
     NRAYS = 12 + 3 * n_off
 
@@ -1606,7 +1693,8 @@ def _persistent_impl(
     def body(c):
         (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f) = c[:12]
         accs = list(c[12:NRAYS])
-        nrays, niter, sup_acc, clu_acc = c[NRAYS:]
+        nrays, niter, sup_acc, clu_acc = c[NRAYS:NRAYS + 4]
+        hint = c[NRAYS + 4] if has_key else None
         alive = alive_f > 0
 
         # Offset masks + rotated pixel identity (see docstring).
@@ -1673,7 +1761,10 @@ def _persistent_impl(
 
         # Culling intersectors take the alive mask so dead lanes don't
         # veto whole-tile cluster skips (and the tile tail speeds up).
-        if "alive" in inspect.signature(intersect_fn).parameters:
+        if has_key:
+            res = intersect_fn(ox, oy, oz, dx, dy, dz, alive=alive,
+                               hint=hint)
+        elif "alive" in inspect.signature(intersect_fn).parameters:
             res = intersect_fn(ox, oy, oz, dx, dy, dz, alive=alive)
         else:
             res = intersect_fn(ox, oy, oz, dx, dy, dz)
@@ -1683,6 +1774,9 @@ def _persistent_impl(
             sup_acc = sup_acc + res[-2]
             clu_acc = clu_acc + res[-1]
             res = res[:-2]
+        if has_key:
+            hint = res[-1]
+            res = res[:-1]
         tri_fields = res[11:15] if len(res) > 11 else (None, None, None, None)
         tex_fields = res[15:19] if has_tex else None
         niter = niter + 1.0
@@ -1749,7 +1843,7 @@ def _persistent_impl(
                           ^ _u32(_RR_SALT))
             st, u_rr = _next_f32(st)
             keep_p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
-                              0.05, 1.0)
+                              jnp.float32(rr_floor), 1.0)
             active = hit & (bounce >= _u32(rr_start))
             survive = (~active) | (u_rr < keep_p)
             comp = active & survive
@@ -1764,7 +1858,8 @@ def _persistent_impl(
         s_lane = jnp.where(died, s_lane + _u32(1), s_lane)
         return (s_lane, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
                 jnp.where(still_alive, 1.0, 0.0),
-                *accs, nrays, niter, sup_acc, clu_acc)
+                *accs, nrays, niter, sup_acc, clu_acc) + (
+                    (hint,) if has_key else ())
 
     final = jax.lax.while_loop(cond, body, state0)
     accs = final[12:NRAYS]
@@ -1806,7 +1901,7 @@ def _persistent_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "interpret", "rotate", "rotate_cols",
-                     "rr_start"))
+                     "rr_start", "rr_floor"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -1818,6 +1913,7 @@ def fused_render_persistent(
     rotate: bool = True,
     rotate_cols: int = 1,
     rr_start: int = 0,
+    rr_floor: float = 0.05,
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
 
@@ -1837,7 +1933,7 @@ def fused_render_persistent(
     f32 = jnp.float32
     outs = pl.pallas_call(
         make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols,
-                             rr_start=rr_start),
+                             rr_start=rr_start, rr_floor=rr_floor),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1857,7 +1953,7 @@ def fused_render_persistent(
 @functools.partial(
     jax.jit,
     static_argnames=("baked_fn", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start"),
+                     "rotate_cols", "rr_start", "rr_floor"),
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -1869,6 +1965,7 @@ def fused_render_baked(
     rotate: bool = True,
     rotate_cols: int = 1,
     rr_start: int = 0,
+    rr_floor: float = 0.05,
 ):
     """Persistent-lane render with the scene baked into the kernel."""
     total_rows = pix.shape[0]
@@ -1883,7 +1980,8 @@ def fused_render_baked(
     f32 = jnp.float32
     outs = pl.pallas_call(
         make_persistent_tile(baked_fn, rotate=rotate,
-                             rotate_cols=rotate_cols, rr_start=rr_start),
+                             rotate_cols=rotate_cols, rr_start=rr_start,
+                             rr_floor=rr_floor),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1902,7 +2000,7 @@ def fused_render_baked(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
                      "cluster_size", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start"),
+                     "rotate_cols", "rr_start", "rr_floor"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -1919,6 +2017,7 @@ def fused_render_dynculled(
     rotate: bool = True,
     rotate_cols: int = 1,
     rr_start: int = 0,
+    rr_floor: float = 0.05,
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -1944,7 +2043,8 @@ def fused_render_dynculled(
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
-                         rotate_cols=rotate_cols, rr_start=rr_start)
+                         rotate_cols=rotate_cols, rr_start=rr_start,
+                         rr_floor=rr_floor)
 
     outs = pl.pallas_call(
         kernel,

@@ -140,7 +140,7 @@ def rr_state(pixel_idx: jnp.ndarray, frame, sample, bounce) -> jnp.ndarray:
 
 
 def roulette(pixel_idx, frame, sample, bounce, throughput, alive,
-             start_bounce: int):
+             start_bounce: int, floor: float = 0.05):
     """Unbiased Russian roulette at one surface event; returns
     ``(throughput, alive)``.
 
@@ -148,12 +148,13 @@ def roulette(pixel_idx, frame, sample, bounce, throughput, alive,
     semantics stay bit-identical by construction (the fused Pallas
     kernel carries its own Mosaic-side copy of the same formula).  From
     surface event ``start_bounce`` on, paths continue with
-    ``p = clip(max(throughput), 0.05, 1)`` and survivors are
+    ``p = clip(max(throughput), floor, 1)`` and survivors are
     compensated by ``1/p``; the draw uses :func:`rr_state`, so renders
     where roulette never activates are untouched.
     """
     _, u = next_f32(rr_state(pixel_idx, frame, sample, bounce))
-    keep_p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+    keep_p = jnp.clip(jnp.max(throughput, axis=-1),
+                      jnp.float32(floor), 1.0)
     active = alive & (bounce >= start_bounce)
     survive = (~active) | (u < keep_p)
     throughput = jnp.where((active & survive)[:, None],

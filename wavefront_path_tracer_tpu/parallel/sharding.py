@@ -96,7 +96,8 @@ def render_samples_sharded(
             _baked_fn, _concrete_eye)
 
         baked_fn = _baked_fn(scene_arrays, config.baked_clusters,
-                             camera_pos=_concrete_eye(view))
+                             camera_pos=_concrete_eye(view),
+                             winner_hint=config.winner_hint)
     elif (config.engine == "fused" and config.intersector == "bruteforce"
           and config.baked_clusters > 0):
         from wavefront_path_tracer_tpu.models.fused import (

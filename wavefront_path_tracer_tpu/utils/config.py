@@ -61,6 +61,13 @@ class RenderConfig:
     # Measured at the 1080p headline: N=2 is a wash, N=4 loses ~5%
     # (the extra selects eat the utilization gain) — default stays 1.
     lane_rotate_cols: int = 1
+    # Fused/baked culled engine: winner-cluster shortlist.  Each lane
+    # remembers which cluster its last hit came from; the next
+    # intersect prepass-tests exactly those clusters so the consensus
+    # cap is tight before the main sweep — the temporal-coherence
+    # answer to incoherent bounce rays, which defeat front-to-back
+    # ordering.  Results identical up to float-tie iteration order.
+    winner_hint: bool = False
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Russian roulette: 0 disables (default — matches the reference's
@@ -71,6 +78,12 @@ class RenderConfig:
     # bit-identical with or without this feature.  Supported by all
     # engines; cuts time-to-N-spp on bounce-heavy scenes.
     rr_start_bounce: int = 0
+    # Russian roulette survival floor: the continue probability is
+    # clip(max(throughput), rr_floor, 1).  A higher floor kills fewer
+    # dark paths (less variance in the killed tail — fewer fireflies)
+    # at the cost of tracing more of them; tune together with
+    # rr_start_bounce for the speed/variance frontier.
+    rr_floor: float = 0.05
     # Exact termination (0, default) vs the reference's lossy early
     # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
     # stops once a bounce produces fewer than N misses — the reference's
@@ -88,6 +101,10 @@ class RenderConfig:
         if self.drain_threshold < 0:
             raise ValueError(
                 f"drain_threshold must be >= 0, got {self.drain_threshold}")
+        if not 0.0 < self.rr_floor <= 1.0:
+            raise ValueError(
+                f"rr_floor must be in (0, 1], got {self.rr_floor} "
+                "(a zero floor would divide by a zero continue probability)")
 
     @property
     def num_pixels(self) -> int:

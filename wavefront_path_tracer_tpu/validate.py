@@ -61,6 +61,8 @@ def main(argv=None) -> int:
     p.add_argument("--rr", type=int, default=0,
                    help="Russian roulette start bounce for the engine "
                         "under test (0 = off)")
+    p.add_argument("--rr-floor", type=float, default=0.05,
+                   help="roulette survival floor for the engine under test")
     p.add_argument("--test-platform", default=None,
                    help="device platform for the engine under test "
                         "(cpu | tpu; default = process default)")
@@ -153,6 +155,7 @@ def main(argv=None) -> int:
         test = render(scene, cc, base.replace(
             engine=args.engine, intersector=args.intersector,
             baked_clusters=args.clusters, rr_start_bounce=args.rr,
+            rr_floor=args.rr_floor,
             samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
