@@ -126,6 +126,34 @@ def _image_scene():
     return b.build()
 
 
+def test_tex_lut_budget_controls_fidelity():
+    """tex_lut_max trades LUT resolution for select-tree cost: with a
+    64x64 source image, a 4096-texel budget is lossless (matches the
+    XLA oracle as tightly as the 16x16 case) while a 64-texel budget is
+    visibly coarser — fidelity must be monotone in the budget."""
+    u = np.linspace(0.0, 1.0, 64)[None, :, None]
+    v = np.linspace(0.15, 1.0, 64)[:, None, None]
+    img = (np.concatenate([u, 1.0 - u, np.full_like(u, 0.35)], -1)
+           * v).astype(np.float32)
+    b = SceneBuilder()
+    b.sphere([0.0, -100.5, -1.0], 100.0, b.lambertian([0.4, 0.4, 0.4]))
+    b.sphere([0.0, 0.0, -1.2], 0.5, b.lambertian([1.0, 1.0, 1.0],
+                                                 texture=img))
+    scene = b.build()
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=2, samples_per_frame=2)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    errs = {}
+    for budget in (64, 4096):
+        fz = render(scene, cc, cfg.replace(engine="fused",
+                                           intersector="baked",
+                                           tex_lut_max=budget))
+        assert np.isfinite(fz.accumulated).all()
+        errs[budget] = rmse(fz.image, mk.image)
+    assert errs[4096] < errs[64]
+    assert errs[4096] < 5e-2
+
+
 def test_image_texture_fused_baked():
     """The fused engine bakes image textures as when-gated <=512-texel
     LUTs (pallas_kernels._apply_image_textures).  With a 16x16 image

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clusters", type=int, default=0,
                    help="fused/baked: leaf cluster size for hierarchical "
                         "consensus culling (0 = brute force)")
+    p.add_argument("--tex-lut", type=int, default=512, metavar="TEXELS",
+                   help="fused/baked: texel budget per image-texture "
+                        "LUT (higher = closer to the XLA engines' "
+                        "full-res sampling, costlier select tree)")
     p.add_argument("--winner-hint", action="store_true",
                    help="fused/baked culled: prepass-test each lane's "
                         "last winner cluster to tighten the cull cap "
@@ -182,7 +186,7 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
         baked_clusters=args.clusters, block_tiles=args.block_tiles,
-        winner_hint=args.winner_hint,
+        winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
     )
 

@@ -127,15 +127,16 @@ def _plane(x, rows_total):
     return x.reshape(rows_total, _LANES)
 
 
-def _bake_image_luts(scene_arrays, centers):
+def _bake_image_luts(scene_arrays, centers, lut_max: int = 512):
     """LUTs for image-textured spheres in the fused baked path.
 
     Per-lane texel gathers are pathological on this device, so each
-    image sphere's texture is baked as a <=512-texel LUT (mean-pool
-    downsampled, halving only dimensions > 1) evaluated by a when-gated
-    select tree in-kernel (pallas_kernels._apply_image_textures).
-    Full-resolution image textures live on the XLA engines.  Called
-    only on a bake-cache miss — the downsample is pure host numpy.
+    image sphere's texture is baked as a <=``lut_max``-texel LUT
+    (mean-pool downsampled, halving only dimensions > 1) evaluated by a
+    when-gated select tree in-kernel
+    (pallas_kernels._apply_image_textures).  Full-resolution image
+    textures live on the XLA engines.  Called only on a bake-cache miss
+    — the downsample is pure host numpy.
     """
     if "tex_data" not in scene_arrays:
         return ()
@@ -146,7 +147,7 @@ def _bake_image_luts(scene_arrays, centers):
     imgs = []
     for i in np.nonzero(kind == 2)[0]:
         lut = data[int(tid[i])]
-        while lut.shape[0] * lut.shape[1] > 512:
+        while lut.shape[0] * lut.shape[1] > lut_max:
             h, w = lut.shape[:2]
             if w > 1 and (w >= h or h == 1):
                 lut = lut[:, : w // 2 * 2].reshape(
@@ -160,7 +161,7 @@ def _bake_image_luts(scene_arrays, centers):
 
 
 def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
-              winner_hint: bool = False):
+              winner_hint: bool = False, lut_max: int = 512):
     centers = np.asarray(scene_arrays["centers"])
     # Front-to-back cluster ordering hint (perf only — a stale order is
     # still correct).  Quantized to 1/8 of the scene extent for the
@@ -205,7 +206,7 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
         if k in scene_arrays
     ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
     key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key,
-           winner_hint)
+           winner_hint, lut_max)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         args = (
@@ -223,7 +224,8 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
                                         winner_hint=winner_hint)
         else:
             fn = baked_intersect(*args, triangles=triangles, tex=tex)
-        fn.image_textures = _bake_image_luts(scene_arrays, centers)
+        fn.image_textures = _bake_image_luts(scene_arrays, centers,
+                                             lut_max=lut_max)
         _BAKED_CACHE[key] = fn
         while len(_BAKED_CACHE) > _BAKED_CACHE_MAX:
             _BAKED_CACHE.popitem(last=False)
@@ -268,7 +270,8 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             n_samples,
             baked_fn=_baked_fn(scene_arrays, config.baked_clusters,
                                camera_pos=_concrete_eye(view),
-                               winner_hint=config.winner_hint),
+                               winner_hint=config.winner_hint,
+                               lut_max=config.tex_lut_max),
             lane_split=split,
         )
     if "tex_kind" in scene_arrays and config.intersector != "baked":
@@ -315,7 +318,8 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     exist; these are the measured quantities that do)."""
     baked_fn = (_baked_fn(scene_arrays, config.baked_clusters,
                           camera_pos=_concrete_eye(view),
-                          winner_hint=config.winner_hint)
+                          winner_hint=config.winner_hint,
+                          lut_max=config.tex_lut_max)
                 if config.intersector == "baked" else None)
     dyn = None
     dyn_static = None

@@ -97,7 +97,8 @@ def render_samples_sharded(
 
         baked_fn = _baked_fn(scene_arrays, config.baked_clusters,
                              camera_pos=_concrete_eye(view),
-                             winner_hint=config.winner_hint)
+                             winner_hint=config.winner_hint,
+                             lut_max=config.tex_lut_max)
     elif (config.engine == "fused" and config.intersector == "bruteforce"
           and config.baked_clusters > 0):
         from wavefront_path_tracer_tpu.models.fused import (

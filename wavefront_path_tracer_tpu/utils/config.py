@@ -61,6 +61,13 @@ class RenderConfig:
     # Measured at the 1080p headline: N=2 is a wash, N=4 loses ~5%
     # (the extra selects eat the utilization gain) — default stays 1.
     lane_rotate_cols: int = 1
+    # Fused/baked engine: texel budget per image texture.  Per-lane
+    # texel gathers are pathological on TPU, so image textures bake to
+    # mean-pooled LUTs evaluated by a when-gated select tree whose cost
+    # is O(texels) *only for tiles that see the sphere* — raise for
+    # fidelity (the XLA engines always sample full resolution), lower
+    # for speed on texture-heavy tiles.
+    tex_lut_max: int = 512
     # Fused/baked culled engine: winner-cluster shortlist.  Each lane
     # remembers which cluster its last hit came from; the next
     # intersect prepass-tests exactly those clusters so the consensus
@@ -105,6 +112,9 @@ class RenderConfig:
             raise ValueError(
                 f"rr_floor must be in (0, 1], got {self.rr_floor} "
                 "(a zero floor would divide by a zero continue probability)")
+        if self.tex_lut_max < 4:
+            raise ValueError(
+                f"tex_lut_max must be >= 4, got {self.tex_lut_max}")
 
     @property
     def num_pixels(self) -> int:
