@@ -91,6 +91,28 @@ def test_winner_hint_hierarchy_matches():
     _statistically_equal(hinted, plain)
 
 
+def test_winner_hint_gated_off_at_scale():
+    """The shortlist prepass is O(n_clusters) per iteration — a
+    measured 2x loss at 625 clusters — so the bake must auto-disable
+    it above 64 clusters (BENCHMARKS.md)."""
+    from wavefront_path_tracer_tpu.ops.pallas_kernels import (
+        baked_culled_intersect,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def bake(n):
+        return baked_culled_intersect(
+            (rng.randn(n, 3) * 10).astype(np.float32),
+            np.full(n, 0.2, np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            np.zeros(n, np.float32), np.ones(n, np.float32),
+            np.zeros(n, np.float32), cluster_size=16, winner_hint=True)
+
+    assert bake(2000).returns_winner_key is False
+    assert bake(300).returns_winner_key is True
+
+
 def test_culled_hierarchy_matches_unculled_spheres():
     """With enough spheres the two-level hierarchy actually engages
     (globals split, Morton clusters, slab cap); culling must be
