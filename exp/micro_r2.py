@@ -609,6 +609,55 @@ def make_kernel_w7(n_clusters, spheres_per_cluster):
     return kernel
 
 
+def make_kernel_c45(unroll: bool, nattrs: int):
+    """C2 family with (a) the block loop optionally Python-unrolled
+    (static trip count — isolates fori_loop overhead: no cross-block
+    software pipelining inside lax loops) and (b) a configurable
+    winner-attribute carry width (prod dynculled carries 10+)."""
+
+    def kernel(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+        nblk = S // 8
+
+        def rep(i, carry):
+            acc, dxm = carry
+            dxm = dxm + 1e-6
+
+            def blk_step(k, c):
+                best_t = c[0]
+                attrs_c = list(c[1:])
+                blk = scn_ref[pl.ds(k * 8, 8), :]
+                for j in range(8):
+                    cx, cy, cz, r = (blk[j, 0], blk[j, 1], blk[j, 2],
+                                     blk[j, 3])
+                    t, better = quadratic(ox, oy, oz, dxm, dy, dz,
+                                          cx, cy, cz, r, best_t)
+                    best_t = jnp.where(better, t, best_t)
+                    attrs_c = [jnp.where(better, blk[j, 4 + ai], av)
+                               for ai, av in enumerate(attrs_c)]
+                return (best_t, *attrs_c)
+
+            init = (jnp.full(shape, T_FAR, f32),) + (zeros,) * nattrs
+            if unroll:
+                c = init
+                for k in range(nblk):
+                    c = blk_step(k, c)
+            else:
+                c = jax.lax.fori_loop(0, nblk, blk_step, init)
+            acc = acc + c[0] + c[1] + c[-1]
+            return acc, dxm
+
+        acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+        out_ref[:] = acc
+
+    return kernel
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["A", "B", "C", "C2", "C3", "D"]
     print(f"backend={jax.default_backend()} S={S} REPS={REPS}", flush=True)
@@ -640,5 +689,11 @@ if __name__ == "__main__":
         run_pairs("W6 25x16 or-pack ", make_kernel_when2(25, 16, "pack"), False)
     if "W7" in which:
         run_pairs("W7 dyncull smem  ", make_kernel_w7(25, 16), True)
+    if "C4" in which:
+        run_pairs("C4 dyn unroll 2at", make_kernel_c45(True, 2), True)
+    if "C5" in which:
+        run_pairs("C5 dyn fori 10at ", make_kernel_c45(False, 10), True)
+    if "C45" in which:
+        run_pairs("C45 dyn unrl 10at", make_kernel_c45(True, 10), True)
     if "D" in which:
         matmul_bench()

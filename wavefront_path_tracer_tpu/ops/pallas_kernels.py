@@ -58,6 +58,11 @@ _RR_SALT = 0x52455252  # ops/rng.py:rr_state — independent roulette stream
 # images are unchanged.
 PROBE: frozenset = frozenset()
 
+# Dynamic culled sweep: unroll the cluster loop statically up to this
+# many clusters (see make_dynamic_culled_intersect); above it the
+# compact fori_loop keeps compile time O(#clusters).
+_DYN_UNROLL_CLUSTERS = 64
+
 
 def _u32(x):
     return jnp.uint32(x)
@@ -1519,7 +1524,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                         cond_batch(base, s2, ln2, aabb_ref,
                                    jnp.minimum(t_ref[:], t_exit))
 
-                    def cluster_step(k, x):
+                    def cluster_step(k, x=None):
                         @pl.when(cond_ref[base + k] > 0)
                         def _():
                             clu_cnt[:] = clu_cnt[:] + 1.0
@@ -1534,8 +1539,21 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                 ref[:] = val
                         return x
 
-                    jax.lax.fori_loop(s, s + ln, cluster_step,
-                                      jnp.float32(0))
+                    # A lax cluster loop costs ~1.7x in pair rate (no
+                    # cross-iteration software pipelining: micro C2 22.6
+                    # vs C4 38.3 Gpairs/s, exp/micro_r2.py) — unroll it
+                    # statically where code size allows.  The table
+                    # VALUES stay runtime inputs either way, so scene
+                    # edits of the same structure never recompile; only
+                    # above the gate does the kernel fall back to the
+                    # compact-code fori_loop (10k spheres would unroll
+                    # to baked-scale compile times).
+                    if n <= _DYN_UNROLL_CLUSTERS:
+                        for k in range(s, s + ln):
+                            cluster_step(k)
+                    else:
+                        jax.lax.fori_loop(s, s + ln, cluster_step,
+                                          jnp.float32(0))
 
             if n_clusters:
                 sweep(n_clusters, 0, scn_ref, n_global_blocks * 8,
