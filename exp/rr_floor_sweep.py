@@ -47,8 +47,10 @@ def time_1080p(rr, floor):
                        samples_per_frame=1000, rr_start_bounce=rr,
                        rr_floor=floor, **BASE)
     r = render(scene, cc, cfg)             # compile + warm-up
+    # Time the IDENTICAL call: RenderConfig is a jit static argument,
+    # so cfg.replace(frame=1) would retrace inside the timed window.
     t0 = time.time()
-    r = render(scene, cc, cfg.replace(frame=1))
+    r = render(scene, cc, cfg)
     dt = time.time() - t0
     print(f"1080p@1000spp rr={rr} floor={floor}: {dt:.2f}s "
           f"({r.mrays_per_s:.0f} Mrays/s)", flush=True)

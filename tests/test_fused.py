@@ -78,14 +78,16 @@ def test_winner_hint_matches(book_cover_scene, oracle):
 
 
 def test_winner_hint_hierarchy_matches():
-    """Shortlist + the engaged two-level hierarchy (globals, supers,
-    slab cap) still conservative on a bigger procedural scene."""
+    """Shortlist + the engaged two-level hierarchy: cluster_size=2 on
+    120 spheres yields ~60 clusters > super_gate=48, so the prepass
+    exclusion dict is consumed inside the per-super pl.when bodies —
+    the trickiest winner-hint interaction; must stay conservative."""
     from wavefront_path_tracer_tpu.scene.scene import get_scene
 
-    scene = get_scene("procedural", n=96, seed=3)
+    scene = get_scene("procedural", n=120, seed=3)
     cfg = BASE.replace(engine="fused", intersector="baked",
                        samples_per_pixel=2, samples_per_frame=2,
-                       baked_clusters=8)
+                       baked_clusters=2)
     plain = render(scene, _cover_camera(), cfg)
     hinted = render(scene, _cover_camera(), cfg.replace(winner_hint=True))
     _statistically_equal(hinted, plain)

@@ -279,6 +279,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             "the fused engine evaluates textures only with "
             "intersector='baked' (checker textures as baked constants)"
         )
+    if config.winner_hint:
+        # The dynamic culled intersector has no shortlist; refusing
+        # beats a silent no-op measurement.
+        raise NotImplementedError(
+            "winner_hint is implemented only for intersector='baked' "
+            "(the dynamic culled path has no shortlist prepass)")
     if config.intersector != "bruteforce":
         # Per-lane BVH gathers are pathological on TPU; refusing beats
         # silently running the brute-force loop the user didn't ask for.

@@ -1757,6 +1757,11 @@ def _persistent_impl(
             # and others never.
             pix_c, xs_c, ys_c, soff_c = (pick(pix), pick(xs), pick(ys),
                                          pick(soff))
+            if "dbl_rotpick" in PROBE:  # perf probe: CSE-proof recompute
+                z = (s_lane - s_lane).astype(pix.dtype)
+                p2 = (pick(pix + z), pick(xs), pick(ys), pick(soff))
+                pix_c = jnp.maximum(pix_c, p2[0])
+                xs_c, ys_c, soff_c = p2[1], p2[2], p2[3]
         else:
             masks = [None]
             pix_c, xs_c, ys_c, soff_c = pix, xs, ys, soff
@@ -1813,12 +1818,21 @@ def _persistent_impl(
         con_r = tr * ((1.0 - sky_a) + sky_a * 0.5)
         con_g = tg * ((1.0 - sky_a) + sky_a * 0.7)
         con_b = tb * ((1.0 - sky_a) + sky_a * 1.0)
-        for m in range(n_off):
-            mm = missed if masks[m] is None else (missed & masks[m])
-            accs[m] = accs[m] + jnp.where(mm, con_r, 0.0)
-            accs[n_off + m] = accs[n_off + m] + jnp.where(mm, con_g, 0.0)
-            accs[2 * n_off + m] = (accs[2 * n_off + m]
-                                   + jnp.where(mm, con_b, 0.0))
+        def accumulate_miss(cr, cg, cb):
+            for m in range(n_off):
+                mm = missed if masks[m] is None else (missed & masks[m])
+                accs[m] = accs[m] + jnp.where(mm, cr, 0.0)
+                accs[n_off + m] = accs[n_off + m] + jnp.where(mm, cg, 0.0)
+                accs[2 * n_off + m] = (accs[2 * n_off + m]
+                                       + jnp.where(mm, cb, 0.0))
+
+        if "dbl_accum" in PROBE:  # perf probe: CSE-proof half+half
+            z = niter * 0.0
+            accumulate_miss(con_r * 0.5, con_g * 0.5, con_b * 0.5)
+            accumulate_miss(con_r * 0.5 + z, con_g * 0.5 + z,
+                            con_b * 0.5 + z)
+        else:
+            accumulate_miss(con_r, con_g, con_b)
 
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
             pix_c, frame, sample, bounce, ox, oy, oz, dx, dy, dz,

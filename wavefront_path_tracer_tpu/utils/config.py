@@ -115,6 +115,11 @@ class RenderConfig:
         if self.tex_lut_max < 4:
             raise ValueError(
                 f"tex_lut_max must be >= 4, got {self.tex_lut_max}")
+        if self.winner_hint and self.baked_clusters <= 0:
+            raise ValueError(
+                "winner_hint requires baked_clusters > 0 (the shortlist "
+                "prepasses the cull hierarchy's clusters; without "
+                "clustering it would silently do nothing)")
 
     @property
     def num_pixels(self) -> int:
