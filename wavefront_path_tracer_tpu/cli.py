@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clusters", type=int, default=0,
                    help="fused/baked: leaf cluster size for hierarchical "
                         "consensus culling (0 = brute force)")
+    p.add_argument("--sampler", default="random",
+                   choices=("random", "stratified"),
+                   help="AA sampler: 'random' (reference semantics) or "
+                        "'stratified' (4x4 stratum AA jitter, unbiased, "
+                        "lower variance at low spp; all engines)")
     p.add_argument("--tex-lut", type=int, default=512, metavar="TEXELS",
                    help="fused/baked: texel budget per image-texture "
                         "LUT (higher = closer to the XLA engines' "
@@ -187,6 +192,7 @@ def main(argv=None) -> int:
         engine=args.engine, intersector=intersector,
         baked_clusters=args.clusters, block_tiles=args.block_tiles,
         winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
+        sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
     )
 

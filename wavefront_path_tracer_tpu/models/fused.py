@@ -419,6 +419,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            sampler=config.sampler,
         )
     elif dyn_tables is not None:
         ngb, ncl, ntc, csize = dyn_static
@@ -430,6 +431,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            sampler=config.sampler,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -442,6 +444,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            sampler=config.sampler,
         )
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

@@ -36,7 +36,8 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
     Returns (radiance (N, 3), rays_traced scalar) — the live-lane count
     summed over bounces, for Mrays/s accounting."""
     origin, direction = generate_rays(
-        pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
+        pixel_idx, config.width, config.height, frame, sample, cam, view,
+        inv_proj, sampler=config.sampler,
     )
     n = pixel_idx.shape[0]
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -64,7 +65,12 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         # Hit: attenuate and scatter (K3 semantics).
         p = origin + t[:, None] * direction
         state_rng = rng.stream_state(pixel_idx, frame, sample, bounce + 1)
-        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract)
+        strat = None
+        if config.sampler == "stratified":
+            strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
+                     + jnp.uint32(3) * bounce.astype(jnp.uint32))
+        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract,
+                          strat)
         hit_alive = alive & hit
         throughput = jnp.where(
             hit_alive[:, None], throughput * albedo, throughput,

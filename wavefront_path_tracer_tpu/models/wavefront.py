@@ -100,7 +100,8 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
 
     # K1 generate: one primary ray per pixel fills the queue.
     origin, direction = generate_rays(
-        pixel_idx, config.width, config.height, frame, sample, cam, view, inv_proj
+        pixel_idx, config.width, config.height, frame, sample, cam, view,
+        inv_proj, sampler=config.sampler,
     )
     pad = capacity - n
     # Two ids per lane: the *global* pixel id drives RNG streams (must
@@ -158,7 +159,12 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         # Optional per-material shade split (reference TODO README.md:19):
         # identical results; exists for architecture parity / A-B.
         shade_fn = scatter_partitioned if config.material_split else scatter
-        new_dir = shade_fn(state_rng, q_dir, normal, mat, fuzz, refract)
+        strat = None
+        if config.sampler == "stratified":
+            strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
+                     + jnp.uint32(3) * bounce.astype(jnp.uint32))
+        new_dir = shade_fn(state_rng, q_dir, normal, mat, fuzz, refract,
+                           strat)
         q_throughput = jnp.where(
             hit[:, None], q_throughput * albedo, q_throughput
         )
@@ -215,7 +221,7 @@ def bounce_histogram(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     pixel_idx = jnp.arange(num_pixels, dtype=jnp.uint32)
     origin, direction = generate_rays(
         pixel_idx, config.width, config.height, frame, sample,
-        cam, view, inv_proj,
+        cam, view, inv_proj, sampler=config.sampler,
     )
     hist = jnp.zeros((config.max_bounces,), jnp.int32)
     throughput = jnp.ones((num_pixels, 3), jnp.float32)
@@ -270,10 +276,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
 # GPU timestamps (path_tracer.rs:356-365, query_gpu.rs).  ~2 host
 # round-trips per bounce: diagnostic use only.
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cam"))
-def _k1_generate(pixel_idx, width, height, frame, sample, cam, view, inv_proj):
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "cam", "sampler"))
+def _k1_generate(pixel_idx, width, height, frame, sample, cam, view,
+                 inv_proj, sampler="random"):
     return generate_rays(pixel_idx, width, height, frame, sample, cam,
-                         view, inv_proj)
+                         view, inv_proj, sampler=sampler)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -288,12 +296,17 @@ def _k4_miss(radiance, q_slot, q_throughput, q_dir, missed):
         jnp.where(missed[:, None], sky, 0.0), mode="drop")
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("sampler",))
 def _k3_shade(q_pixel, frame, sample, bounce, q_origin, q_dir,
-              q_throughput, t, hit, normal, albedo, fuzz, refract, mat):
+              q_throughput, t, hit, normal, albedo, fuzz, refract, mat,
+              sampler="random"):
     p = q_origin + t[:, None] * q_dir
     state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
-    new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract)
+    strat = None
+    if sampler == "stratified":
+        strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
+                 + jnp.uint32(3) * jnp.asarray(bounce, jnp.uint32))
+    new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract, strat)
     q_throughput = jnp.where(hit[:, None], q_throughput * albedo,
                              q_throughput)
     q_origin = jnp.where(hit[:, None], p, q_origin)
@@ -326,7 +339,7 @@ def render_samples_staged(scene_arrays, cam, view, inv_proj,
         with timer.time("generate"):
             origin, direction = _k1_generate(
                 pixel_idx, config.width, config.height, frame, sample,
-                cam, view, inv_proj)
+                cam, view, inv_proj, sampler=config.sampler)
             jax.block_until_ready(direction)
         q_pixel = pixel_idx
         q_slot = jnp.arange(n, dtype=jnp.int32)
@@ -351,7 +364,7 @@ def render_samples_staged(scene_arrays, cam, view, inv_proj,
                 q_origin, q_dir, q_throughput = _k3_shade(
                     q_pixel, frame, sample, jnp.uint32(bounce), q_origin,
                     q_dir, q_throughput, t, hit, normal, albedo, fuzz,
-                    refract, mat)
+                    refract, mat, sampler=config.sampler)
                 jax.block_until_ready(q_dir)
             with timer.time("compact"):
                 (q_pixel, q_slot, q_origin, q_dir, q_throughput,

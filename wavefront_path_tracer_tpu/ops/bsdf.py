@@ -44,36 +44,60 @@ def schlick(cosine, eta):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, jnp.float32(5.0))
 
 
-def _draws(state):
+def _draws(state, strat=None):
     """The fixed per-event draw sequence shared by every shade path:
-    3 unit-sphere draws then 1 reflectance draw (module docstring)."""
-    state, sx, sy, sz = rng.sample_unit_sphere(state)
+    3 unit-sphere draws then 1 reflectance draw (module docstring).
+
+    ``strat`` (a pre-mixed uint32 stratum index, or None) stratifies
+    the sphere sample's (cos_theta, phi) uniforms onto a 4x4 grid keyed
+    by strat mod 16.  Callers mix sample and bounce (``5*s + 3*b``) so
+    strata decorrelate across bounces and from the AA strata (which use
+    s mod 16 directly; ops/raygen.py).  Same draw count and positions,
+    so the reflectance draw and all later streams are untouched."""
+    state, u1 = rng.next_f32(state)
+    state, u2 = rng.next_f32(state)
+    state, u3 = rng.next_f32(state)
+    if strat is not None:
+        f32 = jnp.float32
+        p = jnp.asarray(strat, jnp.uint32) & jnp.uint32(15)
+        u2 = ((p & 3).astype(f32) + u2) * f32(0.25)
+        u3 = (((p >> 2) & 3).astype(f32) + u3) * f32(0.25)
+    r = jnp.power(u1, jnp.float32(0.33333))
+    cos_theta = jnp.float32(1.0) - jnp.float32(2.0) * u2
+    sin_theta = jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                     1.0 - cos_theta * cos_theta))
+    phi = jnp.float32(2.0) * jnp.float32(3.1415927) * u3
+    sx = r * sin_theta * jnp.cos(phi)
+    sy = r * sin_theta * jnp.sin(phi)
+    sz = r * cos_theta
     state, r_reflect = rng.next_f32(state)
     s = jnp.stack([sx, sy, sz], axis=-1)
     s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
     return s, r_reflect
 
 
-def scatter_lambertian(state, direction, normal, fuzz, refract_idx):
+def scatter_lambertian(state, direction, normal, fuzz, refract_idx,
+                       strat=None):
     """Per-material kernel: Lambertian scatter (shade.wgsl:102-109)."""
-    s, _ = _draws(state)
+    s, _ = _draws(state, strat)
     d = normal + s
     degenerate = jnp.linalg.norm(d, axis=-1, keepdims=True) < 0.001
     d = jnp.where(degenerate, normal, d)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def scatter_metal(state, direction, normal, fuzz, refract_idx):
+def scatter_metal(state, direction, normal, fuzz, refract_idx, strat=None):
     """Per-material kernel: fuzzy metal (shade.wgsl:110-114)."""
-    s, _ = _draws(state)
+    s, _ = _draws(state, strat)
     d = reflect(direction, normal) + fuzz[:, None] * s
     norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
     return jnp.where(norm > 1e-12, d / jnp.maximum(norm, 1e-12), normal)
 
 
-def scatter_dielectric(state, direction, normal, fuzz, refract_idx):
+def scatter_dielectric(state, direction, normal, fuzz, refract_idx,
+                       strat=None):
     """Per-material kernel: dielectric (shade.wgsl:115-151)."""
-    _, r_reflect = _draws(state)
+    _, r_reflect = _draws(state, strat)
     uv = direction
     cos_theta = jnp.minimum(jnp.sum(normal * -uv, axis=-1), 1.0)
     outside = cos_theta >= 0.0
@@ -98,7 +122,8 @@ def scatter_dielectric(state, direction, normal, fuzz, refract_idx):
 SCATTER_BY_MATERIAL = (scatter_lambertian, scatter_metal, scatter_dielectric)
 
 
-def scatter_partitioned(state, direction, normal, mat_type, fuzz, refract_idx):
+def scatter_partitioned(state, direction, normal, mat_type, fuzz,
+                        refract_idx, strat=None):
     """Per-material shading over a material-partitioned queue — the
     reference's own TODO ("per-material shade kernels", README.md:19,
     SURVEY.md §9) realized TPU-style: the caller sorts the queue by
@@ -112,7 +137,7 @@ def scatter_partitioned(state, direction, normal, mat_type, fuzz, refract_idx):
     """
     out = jnp.zeros_like(direction)
     for m, fn in enumerate(SCATTER_BY_MATERIAL):
-        d_m = fn(state, direction, normal, fuzz, refract_idx)
+        d_m = fn(state, direction, normal, fuzz, refract_idx, strat)
         out = jnp.where((mat_type == m)[:, None], d_m, out)
     return out
 
@@ -124,6 +149,7 @@ def scatter(
     mat_type: jnp.ndarray,   # (N,) int32
     fuzz: jnp.ndarray,       # (N,) f32
     refract_idx: jnp.ndarray,  # (N,) f32
+    strat=None,                # uint32 sample index to stratify, or None
 ):
     """Returns (N, 3) unit scattered directions.
 
@@ -131,4 +157,5 @@ def scatter(
     the branchless path and the partitioned path (material_split) are
     the *same* computation graph — and therefore bit-identical.
     """
-    return scatter_partitioned(state, direction, normal, mat_type, fuzz, refract_idx)
+    return scatter_partitioned(state, direction, normal, mat_type, fuzz,
+                               refract_idx, strat)

@@ -157,7 +157,8 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
 def _shade_tile(pix, frame, sample, bounce,
                 ox, oy, oz, dx, dy, dz,
                 best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
-                b_nx=None, b_ny=None, b_nz=None, b_is_tri=None):
+                b_nx=None, b_ny=None, b_nz=None, b_is_tri=None,
+                sampler: str = "random"):
     """Branchless RTIOW shading for a tile (the reference's K3+K4 math).
 
     Returns (p_x, p_y, p_z, ndx, ndy, ndz): hit point and unit
@@ -174,6 +175,17 @@ def _shade_tile(pix, frame, sample, bounce,
     state, u2 = _next_f32(state)
     state, u3 = _next_f32(state)
     state, r_reflect = _next_f32(state)
+    if sampler == "stratified":
+        # Same 4x4 stratum remap as ops/bsdf.py:_draws, strat mixed
+        # as 5*sample + 3*bounce (bit-matches the XLA engines).
+        f32c = jnp.float32
+        p = (_u32(5) * sample + _u32(3) * bounce) & _u32(15)
+        # Mosaic has no uint32->f32 cast; bitcast the small (<16)
+        # stratum to int32 first (same trick as _next_f32).
+        px = pltpu.bitcast(p & _u32(3), jnp.int32).astype(f32c)
+        py = pltpu.bitcast((p >> _u32(2)) & _u32(3), jnp.int32).astype(f32c)
+        u2 = (px + u2) * f32c(0.25)
+        u3 = (py + u3) * f32c(0.25)
 
     # (cos phi, sin phi, cos theta) spherical coords: unit by
     # construction — no renormalization needed.
@@ -346,7 +358,8 @@ def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz, b_ir, b_it,
         pltpu.VMEM(hit.shape, jnp.float32))
 
 
-def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
+def _raygen_tile(xs, ys, pix, frame, sample, cam_ref,
+                 sampler: str = "random"):
     """In-kernel primary-ray generation (the reference's K1,
     generate_rays.wgsl:42-91), elementwise over a tile.
 
@@ -365,6 +378,16 @@ def _raygen_tile(xs, ys, pix, frame, sample, cam_ref):
     state, u2 = _next_f32(state)
     state, u3 = _next_f32(state)
     state, u4 = _next_f32(state)
+    if sampler == "stratified":
+        # 4x4 stratum remap of the AA-disk uniforms (ops/raygen.py):
+        # same draw count/positions, so lens draws are untouched.
+        f32c = jnp.float32
+        # uint32->f32 casts don't lower in Mosaic; bitcast via int32.
+        sx = pltpu.bitcast(sample & _u32(3), jnp.int32).astype(f32c)
+        sy = pltpu.bitcast((sample >> _u32(2)) & _u32(3),
+                           jnp.int32).astype(f32c)
+        u1 = (sx + u1) * f32c(0.25)
+        u2 = (sy + u2) * f32c(0.25)
 
     r_aa = jnp.sqrt(u1)
     a_aa = jnp.float32(2.0 * _PI) * u2
@@ -1582,7 +1605,8 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
 def make_persistent_tile(intersect_fn=None, rotate: bool = True,
                          rotate_cols: int = 1, rr_start: int = 0,
-                         rr_floor: float = 0.05):
+                         rr_floor: float = 0.05,
+                         sampler: str = "random"):
     """Build the persistent-lane kernel.
 
     With ``intersect_fn=None`` the kernel takes (scn_ref, nsph_ref)
@@ -1608,7 +1632,7 @@ def make_persistent_tile(intersect_fn=None, rotate: bool = True,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
                          rotate_cols=rotate_cols, rr_start=rr_start,
-                         rr_floor=rr_floor)
+                         rr_floor=rr_floor, sampler=sampler)
 
     return kernel
 
@@ -1627,6 +1651,7 @@ def _persistent_impl(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    sampler: str = "random",
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
 
@@ -1770,7 +1795,7 @@ def _persistent_impl(
         start = (~alive) & (s_lane < n_samples)
         sample = sample_base + soff_c + s_lane
         gox, goy, goz, gdx, gdy, gdz = _raygen_tile(
-            xs_c, ys_c, pix_c, frame, sample, cam_ref)
+            xs_c, ys_c, pix_c, frame, sample, cam_ref, sampler=sampler)
         if "dbl_raygen" in PROBE:  # perf probe: CSE-proof recompute
             g2 = _raygen_tile(xs_c + (niter * 0.0), ys_c, pix_c, frame,
                               sample, cam_ref)
@@ -1837,12 +1862,12 @@ def _persistent_impl(
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
             pix_c, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
-            *tri_fields)
+            *tri_fields, sampler=sampler)
         if "dbl_shade" in PROBE:  # perf probe: CSE-proof recompute
             s2 = _shade_tile(
                 pix_c, frame, sample, bounce, ox + (niter * 0.0), oy, oz,
                 dx, dy, dz, best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz,
-                b_ior, b_mt, *tri_fields)
+                b_ior, b_mt, *tri_fields, sampler=sampler)
             (p_x, p_y, p_z, ndx, ndy, ndz) = [
                 0.5 * (a + b)
                 for a, b in zip((p_x, p_y, p_z, ndx, ndy, ndz), s2)]
@@ -1941,7 +1966,7 @@ def _persistent_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "interpret", "rotate", "rotate_cols",
-                     "rr_start", "rr_floor"))
+                     "rr_start", "rr_floor", "sampler"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -1954,6 +1979,7 @@ def fused_render_persistent(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    sampler: str = "random",
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
 
@@ -1973,7 +1999,8 @@ def fused_render_persistent(
     f32 = jnp.float32
     outs = pl.pallas_call(
         make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols,
-                             rr_start=rr_start, rr_floor=rr_floor),
+                             rr_start=rr_start, rr_floor=rr_floor,
+                             sampler=sampler),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -1993,7 +2020,7 @@ def fused_render_persistent(
 @functools.partial(
     jax.jit,
     static_argnames=("baked_fn", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start", "rr_floor"),
+                     "rotate_cols", "rr_start", "rr_floor", "sampler"),
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -2006,6 +2033,7 @@ def fused_render_baked(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    sampler: str = "random",
 ):
     """Persistent-lane render with the scene baked into the kernel."""
     total_rows = pix.shape[0]
@@ -2021,7 +2049,7 @@ def fused_render_baked(
     outs = pl.pallas_call(
         make_persistent_tile(baked_fn, rotate=rotate,
                              rotate_cols=rotate_cols, rr_start=rr_start,
-                             rr_floor=rr_floor),
+                             rr_floor=rr_floor, sampler=sampler),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -2040,7 +2068,7 @@ def fused_render_baked(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
                      "cluster_size", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start", "rr_floor"),
+                     "rotate_cols", "rr_start", "rr_floor", "sampler"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -2058,6 +2086,7 @@ def fused_render_dynculled(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    sampler: str = "random",
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -2084,7 +2113,7 @@ def fused_render_dynculled(
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
                          rotate_cols=rotate_cols, rr_start=rr_start,
-                         rr_floor=rr_floor)
+                         rr_floor=rr_floor, sampler=sampler)
 
     outs = pl.pallas_call(
         kernel,

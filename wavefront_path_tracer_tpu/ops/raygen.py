@@ -39,14 +39,32 @@ def generate_rays(
     cam: GPUCamera,
     view: jnp.ndarray,      # (4, 4) world-from-camera
     inv_proj: jnp.ndarray,  # (4, 4) inverse projection
+    sampler: str = "random",
 ):
-    """Returns (origin (N,3), direction (N,3) unit)."""
+    """Returns (origin (N,3), direction (N,3) unit).
+
+    ``sampler='stratified'`` remaps the two AA-disk uniforms onto a 4x4
+    stratum grid cycling with the sample index (sample & 3, sample >> 2
+    & 3) — same draw COUNT and stream positions as 'random', so lens
+    draws and every downstream stream are untouched; unbiased (each
+    stratum is uniform) with lower pixel variance at low spp.
+    """
     f32 = jnp.float32
     x = (pixel_idx % width).astype(f32)
     y = (pixel_idx // width).astype(f32)
 
     state = rng.stream_state(pixel_idx, frame, sample, RAYGEN_STREAM)
-    state, ox, oy = rng.sample_unit_disk(state)
+    if sampler == "stratified":
+        state, u1 = rng.next_f32(state)
+        state, u2 = rng.next_f32(state)
+        s = jnp.asarray(sample, jnp.uint32)
+        u1 = ((s & 3).astype(f32) + u1) * f32(0.25)
+        u2 = (((s >> 2) & 3).astype(f32) + u2) * f32(0.25)
+        r_aa = jnp.sqrt(u1)
+        alpha = f32(2.0) * f32(3.1415927) * u2
+        ox, oy = r_aa * jnp.cos(alpha), r_aa * jnp.sin(alpha)
+    else:
+        state, ox, oy = rng.sample_unit_disk(state)
 
     # NDC with y flipped (generate_rays.wgsl:66-67).
     ndc_x = 2.0 * ((x + ox) / f32(width)) - 1.0

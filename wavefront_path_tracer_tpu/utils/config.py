@@ -91,6 +91,13 @@ class RenderConfig:
     # at the cost of tracing more of them; tune together with
     # rr_start_bounce for the speed/variance frontier.
     rr_floor: float = 0.05
+    # AA sampler: "random" (the reference's pure-PCG disk jitter) or
+    # "stratified" (the two AA-disk uniforms remapped onto a 4x4
+    # stratum grid cycling with the sample index — same draw count and
+    # stream positions, so lens and bounce streams are untouched;
+    # unbiased, lower pixel variance at low spp).  All engines share
+    # the formula, so cross-engine bit-identity is preserved.
+    sampler: str = "random"
     # Exact termination (0, default) vs the reference's lossy early
     # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
     # stops once a bounce produces fewer than N misses — the reference's
@@ -115,6 +122,10 @@ class RenderConfig:
         if self.tex_lut_max < 4:
             raise ValueError(
                 f"tex_lut_max must be >= 4, got {self.tex_lut_max}")
+        if self.sampler not in ("random", "stratified"):
+            raise ValueError(
+                f"sampler must be 'random' or 'stratified', "
+                f"got {self.sampler!r}")
         if self.winner_hint and self.baked_clusters <= 0:
             raise ValueError(
                 "winner_hint requires baked_clusters > 0 (the shortlist "
