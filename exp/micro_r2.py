@@ -267,7 +267,9 @@ def kernel_c3(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
 
 def run_pairs(name, kernel, dynamic_table):
     ins = [jnp.asarray(x) for x in (ox0, oy0, oz0, dx0, dy0, dz0)]
-    if dynamic_table:
+    if dynamic_table == "sm":
+        ins = [jnp.asarray(PACKED_SM)] + ins
+    elif dynamic_table:
         ins = [jnp.asarray(packed)] + ins
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fn = jax.jit(functools.partial(
@@ -609,6 +611,147 @@ def make_kernel_w7(n_clusters, spheres_per_cluster):
     return kernel
 
 
+def _packed_sm():
+    """Sphere-major table: (S, 24) f32 — c xyz, r, attrs 10, kappa,
+    inv_r, 2c xyz (the pack_culled_scene column layout, widened)."""
+    t = np.zeros((S, 24), np.float32)
+    t[:, :16] = packed
+    c64 = centers.astype(np.float64)
+    t[:, 14] = (np.sum(c64 * c64, axis=1) - radii.astype(np.float64) ** 2)
+    t[:, 15] = 1.0 / radii
+    t[:, 16:19] = 2.0 * c64
+    return t
+
+
+PACKED_SM = _packed_sm()
+
+
+def _sm_sweep_rows(get_block, nblk, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, bump, decode: bool):
+    """Shared sphere-major body: 8 spheres on sublanes x 128 rays on
+    lanes, one ray row at a time.  Slimmed quadratic on (kappa, 2c)
+    columns, (t8, i8) carries merged per block (3 ops), one cross-
+    sublane reduce per row, then a one-hot fma decode pass (2.5
+    ops/sphere) for 2 probe attrs (real kernel: 10+, same shape).
+
+    ``get_block(k) -> dict`` returns (8,1) column arrays (dynamic:
+    slices of a VMEM block load; baked: trace-time constants)."""
+    f32 = jnp.float32
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(f32)
+    row_out = []
+    for rr in range(ROWS):
+        ox = jnp.broadcast_to(ox_ref[rr:rr + 1, :], (8, 128))
+        oy = jnp.broadcast_to(oy_ref[rr:rr + 1, :], (8, 128))
+        oz = jnp.broadcast_to(oz_ref[rr:rr + 1, :], (8, 128))
+        dx = jnp.broadcast_to(dx_ref[rr:rr + 1, :], (8, 128)) + bump
+        dy = jnp.broadcast_to(dy_ref[rr:rr + 1, :], (8, 128))
+        dz = jnp.broadcast_to(dz_ref[rr:rr + 1, :], (8, 128))
+        hdx, hdy, hdz = 0.5 * dx, 0.5 * dy, 0.5 * dz
+        dd_o = dx * ox + dy * oy + dz * oz
+        oo2 = ox * ox + oy * oy + oz * oz
+        t8 = jnp.full((8, 128), T_FAR, f32)
+        i8 = jnp.full((8, 128), -1.0, f32)
+        for k in range(nblk):
+            b = get_block(k)
+            nb = (hdx * b["tcx"] + hdy * b["tcy"] + hdz * b["tcz"]) - dd_o
+            c_q = (oo2 + b["kappa"]) - (ox * b["tcx"] + oy * b["tcy"]
+                                        + oz * b["tcz"])
+            disc = nb * nb - c_q
+            sq = jnp.sqrt(disc)            # NaN when disc < 0
+            t1 = nb - sq
+            t2 = nb + sq
+            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            better = t < t8
+            t8 = jnp.where(better, t, t8)
+            i8 = jnp.where(better, iota8 + f32(8 * k), i8)
+        tmin = jnp.min(t8, axis=0, keepdims=True)                 # (1,128)
+        ii = jnp.where(t8 == tmin, i8, f32(1e9))
+        imin = jnp.min(ii, axis=0, keepdims=True)                 # (1,128)
+        if decode:
+            win_i = jnp.broadcast_to(imin, (8, 128))
+            a0 = jnp.zeros((8, 128), f32)
+            a9 = jnp.zeros((8, 128), f32)
+            for k in range(nblk):
+                b = get_block(k)
+                onehot = jnp.where(win_i == iota8 + f32(8 * k), 1.0, 0.0)
+                a0 = a0 + onehot * b["a0"]
+                a9 = a9 + onehot * b["a9"]
+            out = tmin + jnp.sum(a0 + a9, axis=0, keepdims=True)
+        else:
+            out = tmin + imin
+        row_out.append(out)
+    return jnp.concatenate(row_out, axis=0)
+
+
+def make_kernel_c6(decode: bool):
+    """Dynamic sphere-major: (8,24) block loads, (8,1) column slices
+    broadcast along lanes — NO scalar extracts anywhere."""
+    nblk = S // 8
+
+    def kernel(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               out_ref):
+        def get_block(k):
+            blk = scn_ref[pl.ds(k * 8, 8), :]
+            return {"tcx": blk[:, 16:17], "tcy": blk[:, 17:18],
+                    "tcz": blk[:, 18:19], "kappa": blk[:, 14:15],
+                    "a0": blk[:, 4:5], "a9": blk[:, 13:14]}
+
+        def rep(i, carry):
+            acc, bump = carry
+            bump = bump + 1e-6
+            acc = acc + _sm_sweep_rows(get_block, nblk, ox_ref, oy_ref,
+                                       oz_ref, dx_ref, dy_ref, dz_ref,
+                                       bump, decode)
+            return acc, bump
+
+        acc, _ = jax.lax.fori_loop(
+            0, REPS, rep, (jnp.zeros((ROWS, 128), jnp.float32),
+                           jnp.float32(0.0)))
+        out_ref[:] = acc
+
+    return kernel
+
+
+def make_kernel_a2(decode: bool):
+    """Baked sphere-major: block columns as trace-time (8,1) constants
+    (hoisted to the constant pool — the baked twin of C6)."""
+    nblk = S // 8
+    tab = PACKED_SM
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, out_ref):
+        # Pallas rejects captured vector constants; build each (8,1)
+        # block column from float immediates via iota selects (loop-
+        # invariant — hoisted out of the rep loop by the compiler).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def col(vals):
+            out = jnp.zeros((8, 1), jnp.float32)
+            for j, v in enumerate(vals):
+                out = jnp.where(iota == j, jnp.float32(float(v)), out)
+            return out
+
+        def get_block(k):
+            blk = tab[k * 8:(k + 1) * 8]
+            return {n: col(blk[:, c])
+                    for n, c in (("tcx", 16), ("tcy", 17), ("tcz", 18),
+                                 ("kappa", 14), ("a0", 4), ("a9", 13))}
+
+        def rep(i, carry):
+            acc, bump = carry
+            bump = bump + 1e-6
+            acc = acc + _sm_sweep_rows(get_block, nblk, ox_ref, oy_ref,
+                                       oz_ref, dx_ref, dy_ref, dz_ref,
+                                       bump, decode)
+            return acc, bump
+
+        acc, _ = jax.lax.fori_loop(
+            0, REPS, rep, (jnp.zeros((ROWS, 128), jnp.float32),
+                           jnp.float32(0.0)))
+        out_ref[:] = acc
+
+    return kernel
+
+
 def make_kernel_c45(unroll: bool, nattrs: int):
     """C2 family with (a) the block loop optionally Python-unrolled
     (static trip count — isolates fori_loop overhead: no cross-block
@@ -695,5 +838,11 @@ if __name__ == "__main__":
         run_pairs("C5 dyn fori 10at ", make_kernel_c45(False, 10), True)
     if "C45" in which:
         run_pairs("C45 dyn unrl 10at", make_kernel_c45(True, 10), True)
+    if "C6" in which:
+        run_pairs("C6 sphmaj dyn t/i", make_kernel_c6(False), "sm")
+        run_pairs("C6d sphmaj dyn+de", make_kernel_c6(True), "sm")
+    if "A2" in which:
+        run_pairs("A2 sphmaj baked  ", make_kernel_a2(False), False)
+        run_pairs("A2d sphmaj bak+de", make_kernel_a2(True), False)
     if "D" in which:
         matmul_bench()

@@ -289,3 +289,35 @@ def test_lane_rotation_partial_tile():
     ref = render(scene, _cover_camera(), cfg.replace(engine="megakernel"))
     fz = render(scene, _cover_camera(), cfg)
     _statistically_equal(fz, ref)
+
+
+def test_auto_cluster_resolution():
+    """baked_clusters=-1 resolves by primitive count (measured optima:
+    16 under 2000 primitives, 32 above; exp/sweep10k.py)."""
+    from wavefront_path_tracer_tpu.models.fused import _resolve_clusters
+
+    small = {"centers": np.zeros((390, 3), np.float32)}
+    big = {"centers": np.zeros((10000, 3), np.float32)}
+    tri = {"centers": np.zeros((100, 3), np.float32),
+           "tri_v0": np.zeros((5000, 3), np.float32)}
+    auto = BASE.replace(engine="fused", baked_clusters=-1)
+    assert _resolve_clusters(auto, small) == 16
+    assert _resolve_clusters(auto, big) == 32
+    assert _resolve_clusters(auto, tri) == 32
+    explicit = BASE.replace(engine="fused", baked_clusters=8)
+    assert _resolve_clusters(explicit, big) == 8
+    off = BASE.replace(engine="fused", baked_clusters=0)
+    assert _resolve_clusters(off, big) == 0
+
+
+def test_auto_cluster_render_matches_explicit():
+    """An auto-resolved dynamic-culled render equals the explicit-16 one."""
+    from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+    scene = book_cover()
+    cfg = BASE.replace(engine="fused", intersector="bruteforce",
+                       samples_per_pixel=2, samples_per_frame=2)
+    auto = render(scene, _cover_camera(), cfg.replace(baked_clusters=-1))
+    exp16 = render(scene, _cover_camera(), cfg.replace(baked_clusters=16))
+    np.testing.assert_array_equal(np.asarray(auto.accumulated),
+                                  np.asarray(exp16.accumulated))

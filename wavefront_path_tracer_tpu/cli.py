@@ -51,9 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="baked (fused engine only) unrolls the scene into "
                         "the kernel as constants: fastest, per-scene compile")
     p.add_argument("--frame", type=int, default=0, help="RNG frame salt")
-    p.add_argument("--clusters", type=int, default=0,
+    p.add_argument("--clusters", type=lambda v: -1 if v == "auto" else int(v),
+                   default=0, metavar="N|auto",
                    help="fused/baked: leaf cluster size for hierarchical "
-                        "consensus culling (0 = brute force)")
+                        "consensus culling (0 = brute force; 'auto' = "
+                        "measured optimum by primitive count: 16 under "
+                        "2000, 32 above)")
     p.add_argument("--sampler", default="random",
                    choices=("random", "stratified"),
                    help="AA sampler: 'random' (reference semantics) or "

@@ -246,6 +246,18 @@ def _concrete_eye(view):
         return None
 
 
+def _resolve_clusters(config: RenderConfig, scene_arrays) -> int:
+    """Effective leaf cluster size: -1 (auto) picks the measured optimum
+    by primitive count — 16 below 2000 (390-sphere headline sweep), 32
+    above (10k-sphere sweep, exp/sweep10k.py: 13.1 vs 12.2 Mrays/s)."""
+    if config.baked_clusters >= 0:
+        return config.baked_clusters
+    n = np.asarray(scene_arrays["centers"]).shape[0]
+    if "tri_v0" in scene_arrays:
+        n += np.asarray(scene_arrays["tri_v0"]).shape[0]
+    return 16 if n < 2000 else 32
+
+
 def _effective_split(requested: int, n_samples: int) -> int:
     """Largest divisor of n_samples not exceeding the requested split
     (resolved where n_samples is a concrete python int)."""
@@ -264,11 +276,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     persistently cached).  Otherwise the scene stays a VMEM table.
     """
     split = _effective_split(config.lane_split, n_samples)
+    clusters = _resolve_clusters(config, scene_arrays)
     if config.intersector == "baked":
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
             n_samples,
-            baked_fn=_baked_fn(scene_arrays, config.baked_clusters,
+            baked_fn=_baked_fn(scene_arrays, clusters,
                                camera_pos=_concrete_eye(view),
                                winner_hint=config.winner_hint,
                                lut_max=config.tex_lut_max),
@@ -294,7 +307,7 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             "baked_clusters culling) or 'bruteforce' (dynamic VMEM table); "
             "'bvh' exists only on the wavefront/megakernel engines"
         )
-    if "tri_v0" in scene_arrays and config.baked_clusters <= 0:
+    if "tri_v0" in scene_arrays and clusters <= 0:
         raise NotImplementedError(
             "the fused engine traces triangles with intersector='baked' "
             "or with the dynamic culled path (baked_clusters > 0); the "
@@ -302,11 +315,11 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         )
     dyn = None
     dyn_static = None
-    if config.baked_clusters > 0:
+    if clusters > 0:
         dyn, (ngb, ncl, ntc) = _dyn_tables(
-            scene_arrays, config.baked_clusters,
+            scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
+        dyn_static = (ngb, ncl, ntc, clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=None, lane_split=split,
@@ -322,18 +335,19 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     tiles — the fused analog of the reference's per-kernel observability
     (its five kernels are one Pallas call here, so stage wall-µs don't
     exist; these are the measured quantities that do)."""
-    baked_fn = (_baked_fn(scene_arrays, config.baked_clusters,
+    clusters = _resolve_clusters(config, scene_arrays)
+    baked_fn = (_baked_fn(scene_arrays, clusters,
                           camera_pos=_concrete_eye(view),
                           winner_hint=config.winner_hint,
                           lut_max=config.tex_lut_max)
                 if config.intersector == "baked" else None)
     dyn = None
     dyn_static = None
-    if baked_fn is None and config.baked_clusters > 0:
+    if baked_fn is None and clusters > 0:
         dyn, (ngb, ncl, ntc) = _dyn_tables(
-            scene_arrays, config.baked_clusters,
+            scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
+        dyn_static = (ngb, ncl, ntc, clusters)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,

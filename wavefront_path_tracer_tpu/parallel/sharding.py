@@ -91,24 +91,28 @@ def render_samples_sharded(
     baked_fn = None
     dyn = None
     dyn_static = None
+    if config.engine == "fused":
+        from wavefront_path_tracer_tpu.models.fused import _resolve_clusters
+
+        clusters = _resolve_clusters(config, scene_arrays)
     if config.engine == "fused" and config.intersector == "baked":
         from wavefront_path_tracer_tpu.models.fused import (
             _baked_fn, _concrete_eye)
 
-        baked_fn = _baked_fn(scene_arrays, config.baked_clusters,
+        baked_fn = _baked_fn(scene_arrays, clusters,
                              camera_pos=_concrete_eye(view),
                              winner_hint=config.winner_hint,
                              lut_max=config.tex_lut_max)
     elif (config.engine == "fused" and config.intersector == "bruteforce"
-          and config.baked_clusters > 0):
+          and clusters > 0):
         from wavefront_path_tracer_tpu.models.fused import (
             _concrete_eye, _dyn_tables)
 
         # closure-captured, replicated
         dyn, (ngb, ncl, ntc) = _dyn_tables(
-            scene_arrays, config.baked_clusters,
+            scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, config.baked_clusters)
+        dyn_static = (ngb, ncl, ntc, clusters)
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the

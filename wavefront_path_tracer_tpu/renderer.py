@@ -159,7 +159,7 @@ class Renderer:
                  config: RenderConfig, triangles=None, stage_timer=None):
         if (triangles is not None and config.engine == "fused"
                 and config.intersector != "baked"
-                and config.baked_clusters <= 0):
+                and config.baked_clusters == 0):
             raise NotImplementedError(
                 "the fused engine traces triangle meshes with "
                 "intersector='baked', or dynamically (no per-scene "

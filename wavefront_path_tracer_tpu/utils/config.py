@@ -36,7 +36,9 @@ class RenderConfig:
     # with per-material kernels (the reference's TODO, README.md:19).
     material_split: bool = False
     # Fused/baked engine: leaf cluster size for hierarchical consensus
-    # culling of spheres AND triangles (0 = no culling).
+    # culling of spheres AND triangles (0 = no culling; -1 = auto —
+    # measured optima: 16 below 2000 primitives, 32 at 10k;
+    # exp/sweep10k.py).
     baked_clusters: int = 0
     # Fused engine: group pixels into NxN image blocks per ray tile so
     # cluster culling sees spatially coherent lanes (0 = linear order).
@@ -126,7 +128,11 @@ class RenderConfig:
             raise ValueError(
                 f"sampler must be 'random' or 'stratified', "
                 f"got {self.sampler!r}")
-        if self.winner_hint and self.baked_clusters <= 0:
+        if self.baked_clusters < -1:
+            raise ValueError(
+                f"baked_clusters must be >= -1, got {self.baked_clusters} "
+                "(-1 = auto, 0 = no culling, N = leaf cluster size)")
+        if self.winner_hint and self.baked_clusters == 0:
             raise ValueError(
                 "winner_hint requires baked_clusters > 0 (the shortlist "
                 "prepasses the cull hierarchy's clusters; without "
