@@ -1500,6 +1500,13 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             return sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz)
 
         carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
+        if "dyn_dbl_global" in PROBE:  # perf probe: idempotent re-test
+            def g_step2(k, c):
+                blk = scn_ref[pl.ds(k * 8, 8), :]
+                return sphere_block_h(blk + c[0][0, 0] * 0.0, c,
+                                      ox, oy, oz, dx, dy, dz)
+
+            carry = jax.lax.fori_loop(0, n_global_blocks, g_step2, carry)
         if n_clusters == 0 and not has_tris:
             return carry + (zero, zero)
 
@@ -1512,6 +1519,9 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             t_ref = refs[0]
             clu_cnt = refs[nfld]
             clu_cnt[:] = zero
+            # Traced zero for the perf probes below: defeats CSE on a
+            # duplicated component without changing any value.
+            zz = t_ref[0, 0] * 0.0
 
             def cond_batch(base, start, count, aabb_ref, cap):
                 # Batched cond pass -> SMEM (any() reduces pipeline
@@ -1524,6 +1534,17 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                     live = ((c_min <= c_max) & (c_max > T_MIN)
                             & (jnp.maximum(c_min, 0.0) < cap))
                     cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
+                if "dyn_dbl_cond" in PROBE:  # perf probe: box math +
+                    # any + SMEM store recomputed (corner shift defeats
+                    # CSE; extracts/loads may still be shared)
+                    for c in range(start, start + count):
+                        row = aabb_ref[c]
+                        c_min, c_max = box_range(
+                            (row[0] + zz, row[1] + zz, row[2] + zz),
+                            (row[3] + zz, row[4] + zz, row[5] + zz))
+                        live = ((c_min <= c_max) & (c_max > T_MIN)
+                                & (jnp.maximum(c_min, 0.0) < cap))
+                        cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
 
             def sweep(n, base, table_ref, row0, block_fn, bpc,
                       aabb_ref, sref, refresh: int = 16):
@@ -1548,6 +1569,27 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                    jnp.minimum(t_ref[:], t_exit))
 
                     def cluster_step(k, x=None):
+                        if "dyn_split_entry" in PROBE and bpc > 1:
+                            # perf probe: one extra pl.when boundary
+                            # (plus its ref restage) per entered
+                            # cluster — the blocks split across two
+                            # whens with the same cond.
+                            for b0, b1 in ((0, 1), (1, bpc)):
+                                @pl.when(cond_ref[base + k] > 0)
+                                def _(b0=b0, b1=b1):
+                                    if b0 == 0:
+                                        clu_cnt[:] = clu_cnt[:] + 1.0
+                                    vals = tuple(r[:] for r in refs[:nfld])
+                                    for b in range(b0, b1):
+                                        blk = table_ref[
+                                            pl.ds(row0 + k * cluster_size
+                                                  + b * 8, 8), :]
+                                        vals = block_fn(blk, vals, ox, oy,
+                                                        oz, dx, dy, dz)
+                                    for ref, val in zip(refs, vals):
+                                        ref[:] = val
+                            return x
+
                         @pl.when(cond_ref[base + k] > 0)
                         def _():
                             clu_cnt[:] = clu_cnt[:] + 1.0
@@ -1558,8 +1600,22 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                           + b * 8, 8), :]
                                 vals = block_fn(blk, vals, ox, oy, oz,
                                                 dx, dy, dz)
+                            if "dyn_dbl_entry" in PROBE:  # perf probe:
+                                # idempotent re-test (table shifted by a
+                                # traced zero defeats CSE; equal t never
+                                # wins the strict < select)
+                                for b in range(bpc):
+                                    blk = table_ref[
+                                        pl.ds(row0 + k * cluster_size
+                                              + b * 8, 8), :]
+                                    vals = block_fn(blk + zz, vals, ox,
+                                                    oy, oz, dx, dy, dz)
                             for ref, val in zip(refs, vals):
                                 ref[:] = val
+                            if "dyn_dbl_refs" in PROBE:  # perf probe:
+                                # double the per-cluster ref restage
+                                for ref in refs[:nfld]:
+                                    ref[:] = ref[:] * 1.0 + zz
                         return x
 
                     # A lax cluster loop costs ~1.7x in pair rate (no
