@@ -1253,8 +1253,18 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     aabbs = [aabbs[i] for i in visit]
     n_clusters = len(clu_tabs)
     scn = np.concatenate([g_tab] + clu_tabs) if clu_tabs else g_tab
-    clu = (np.stack(aabbs) if aabbs
-           else np.zeros((1, 8), np.float32))
+
+    def pad8(tab):
+        # The batched cluster-major cond pass loads AABBs in (8, 8)
+        # blocks; NaN padding rows compare false -> never live.
+        n = tab.shape[0]
+        out = np.full((max(8, ((n + 7) // 8) * 8), tab.shape[1]),
+                      np.nan, np.float32)
+        out[:n] = tab
+        return out
+
+    clu = pad8(np.stack(aabbs) if aabbs
+               else np.zeros((0, 8), np.float32))
     # Row 0: cluster-slab AABB (exit cap).  Row 1: the conditioning
     # shift, read by the kernel to move ray origins into the
     # scene-centered frame.
@@ -1309,7 +1319,7 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         t_aabbs = [t_aabbs[i] for i in visit]
         n_tri_clusters = len(t_tabs)
         tri = np.concatenate(t_tabs)
-        tri_clu = np.stack(t_aabbs)
+        tri_clu = pad8(np.stack(t_aabbs))
         tri_slab = np.zeros((1, 8), np.float32)
         tri_slab[0, 0:3] = verts.min(axis=(0, 1))
         tri_slab[0, 3:6] = verts.max(axis=(0, 1))
@@ -1499,7 +1509,15 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             blk = scn_ref[pl.ds(k * 8, 8), :]
             return sphere_block_h(blk, carry, ox, oy, oz, dx, dy, dz)
 
-        carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
+        # Unrolled globals pipeline ~1.7x better than a lax loop
+        # (exp/micro_r2.py C2 vs C4); the gate bounds code size on
+        # giant-global scenes.
+        if n_global_blocks <= 2 * _DYN_UNROLL_CLUSTERS:
+            carry = init
+            for k in range(n_global_blocks):
+                carry = g_step(k, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_global_blocks, g_step, init)
         if "dyn_dbl_global" in PROBE:  # perf probe: idempotent re-test
             def g_step2(k, c):
                 blk = scn_ref[pl.ds(k * 8, 8), :]
@@ -1524,27 +1542,64 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             zz = t_ref[0, 0] * 0.0
 
             def cond_batch(base, start, count, aabb_ref, cap):
-                # Batched cond pass -> SMEM (any() reduces pipeline
-                # here); dynamic tables, so order is camera-resortable
+                # Batched cond pass -> SMEM, CLUSTER-major: 8 clusters
+                # on sublanes x 128 rays on lanes, one ray row at a
+                # time.  vs the per-cluster ray-major form this
+                # replaces 6 scalar extracts per cluster with (8,1)
+                # column slices of one block load, and 8 full-tile
+                # any() reduces with a single lane-reduce per group
+                # (dynprobe measured conds at 26% of iteration time,
+                # 2.6x the baked share — the extract/reduce overhead).
+                # aabb tables are NaN-padded to a multiple of 8 rows
+                # (NaN corners compare false -> never live).  Dynamic
+                # tables, so cluster order stays camera-resortable
                 # without recompiling.
-                for c in range(start, start + count):
-                    row = aabb_ref[c]
-                    c_min, c_max = box_range((row[0], row[1], row[2]),
-                                             (row[3], row[4], row[5]))
-                    live = ((c_min <= c_max) & (c_max > T_MIN)
-                            & (jnp.maximum(c_min, 0.0) < cap))
-                    cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
-                if "dyn_dbl_cond" in PROBE:  # perf probe: box math +
-                    # any + SMEM store recomputed (corner shift defeats
-                    # CSE; extracts/loads may still be shared)
-                    for c in range(start, start + count):
-                        row = aabb_ref[c]
-                        c_min, c_max = box_range(
-                            (row[0] + zz, row[1] + zz, row[2] + zz),
-                            (row[3] + zz, row[4] + zz, row[5] + zz))
-                        live = ((c_min <= c_max) & (c_max > T_MIN)
-                                & (jnp.maximum(c_min, 0.0) < cap))
-                        cond_ref[base + c] = jnp.any(live).astype(jnp.int32)
+                nrows = ox.shape[0]
+                rows_b = []
+                for r in range(nrows):
+                    rows_b.append(tuple(
+                        jnp.broadcast_to(v[r:r + 1, :], (8, v.shape[1]))
+                        for v in (ox, oy, oz, idx_, idy_, idz_, cap)))
+                # Groups are aligned down to 8: a re-store into the
+                # in-flight previous batch's range uses a *fresher*
+                # (tighter) cap, which only culls more and is always
+                # conservative-safe; stores never run past the batch.
+                reps = 2 if "dyn_dbl_cond" in PROBE else 1
+                for g0 in range(start - start % 8, start + count, 8):
+                    gn = min(8, start + count - g0)
+                    for rep in range(reps):
+                        blk = aabb_ref[pl.ds(g0, 8), :]
+                        if rep:   # perf probe: CSE-proof recompute
+                            blk = blk + zz
+                        lo = (blk[:, 0:1], blk[:, 1:2], blk[:, 2:3])
+                        hi = (blk[:, 3:4], blk[:, 4:5], blk[:, 5:6])
+                        live = None
+                        for (ox_r, oy_r, oz_r, ix_r, iy_r, iz_r,
+                             cap_r) in rows_b:
+                            tx0 = (lo[0] - ox_r) * ix_r
+                            tx1 = (hi[0] - ox_r) * ix_r
+                            tmin = jnp.minimum(tx0, tx1)
+                            tmax = jnp.maximum(tx0, tx1)
+                            ty0 = (lo[1] - oy_r) * iy_r
+                            ty1 = (hi[1] - oy_r) * iy_r
+                            tmin = jnp.maximum(tmin,
+                                               jnp.minimum(ty0, ty1))
+                            tmax = jnp.minimum(tmax,
+                                               jnp.maximum(ty0, ty1))
+                            tz0 = (lo[2] - oz_r) * iz_r
+                            tz1 = (hi[2] - oz_r) * iz_r
+                            tmin = jnp.maximum(tmin,
+                                               jnp.minimum(tz0, tz1))
+                            tmax = jnp.minimum(tmax,
+                                               jnp.maximum(tz0, tz1))
+                            lv = ((tmin <= tmax) & (tmax > T_MIN)
+                                  & (jnp.maximum(tmin, 0.0) < cap_r))
+                            live = lv if live is None else (live | lv)
+                        any8 = jnp.max(
+                            jnp.where(live, 1, 0).astype(jnp.int32),
+                            axis=1, keepdims=True)          # (8, 1)
+                        for j in range(gn):
+                            cond_ref[base + g0 + j] = any8[j, 0]
 
             def sweep(n, base, table_ref, row0, block_fn, bpc,
                       aabb_ref, sref, refresh: int = 16):
