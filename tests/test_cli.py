@@ -77,3 +77,39 @@ def test_cli_fused_bvh_rejected(tmp_path):
     argv = _args(tmp_path, "--intersector", "bvh")
     argv[argv.index("--engine") + 1] = "fused"
     assert main(argv) == 2
+
+
+def test_resolve_intersector_auto_policy():
+    from wavefront_path_tracer_tpu.cli import resolve_intersector
+    from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
+    from wavefront_path_tracer_tpu.scene.scene import (
+        book_checker,
+        book_cover,
+        procedural_spheres,
+    )
+
+    # Small scene -> baked (bake is ~30-60 s and 1.3-3x faster).
+    it, cl, _ = resolve_intersector("fused", "auto", 0, book_cover(), None)
+    assert (it, cl) == ("baked", -1)
+    # Big scene -> dynamic culled (structure-only ~1-min compile).
+    it, cl, _ = resolve_intersector(
+        "fused", "auto", 0, procedural_spheres(5000), None)
+    assert (it, cl) == ("bruteforce", -1)
+    # Textured scene -> baked (fused evaluates textures only baked).
+    it, cl, _ = resolve_intersector("fused", "auto", 0, book_checker(), None)
+    assert it == "baked"
+    # Explicit --clusters wins over the auto default.
+    it, cl, _ = resolve_intersector(
+        "fused", "auto", 8, procedural_spheres(5000), None)
+    assert (it, cl) == ("bruteforce", 8)
+    # XLA engines take their fast default.
+    it, cl, _ = resolve_intersector("megakernel", "auto", 0,
+                                    book_cover(), None)
+    assert it == "bruteforce"
+    # Triangle scene + plain bruteforce (no clusters) upgrades to baked;
+    # with clusters > 0 the dynamic culled path traces triangles as-is.
+    scene, tris = mesh_demo_scene()
+    it, cl, notes = resolve_intersector("fused", "bruteforce", 0, scene, tris)
+    assert it == "baked" and notes
+    it, cl, notes = resolve_intersector("fused", "bruteforce", 16, scene, tris)
+    assert (it, cl) == ("bruteforce", 16) and not notes

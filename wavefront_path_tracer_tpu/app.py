@@ -105,15 +105,18 @@ def repl(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     scene, triangles = build_scene(args)
-    intersector = args.intersector
-    if triangles is not None and args.engine == "fused" and intersector != "baked":
-        intersector = "baked"
+    from wavefront_path_tracer_tpu.cli import resolve_intersector
+
+    intersector, clusters, notes = resolve_intersector(
+        args.engine, args.intersector, args.clusters, scene, triangles)
+    for n in notes:
+        print(n, file=sys.stderr)
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, samples_per_frame=args.spf,
                        max_bounces=args.max_bounces, engine=args.engine,
-                       intersector=intersector)
+                       intersector=intersector, baked_clusters=clusters)
     session = InteractiveSession(scene, cc, cfg, triangles=triangles)
 
     print("commands: w/a/s/d/q/e move, r render-to-spp, p save png, x quit",

@@ -47,9 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="fused",
                    choices=["fused", "wavefront", "megakernel"])
     p.add_argument("--intersector", default="bruteforce",
-                   choices=["bruteforce", "bvh", "baked"],
+                   choices=["bruteforce", "bvh", "baked", "auto"],
                    help="baked (fused engine only) unrolls the scene into "
-                        "the kernel as constants: fastest, per-scene compile")
+                        "the kernel as constants: fastest, per-scene "
+                        "compile.  auto picks baked for small/textured "
+                        "scenes and the no-bake dynamic culled path for "
+                        "big ones (~1-min structure compile at 65-80%% of "
+                        "baked throughput)")
     p.add_argument("--frame", type=int, default=0, help="RNG frame salt")
     p.add_argument("--clusters", type=lambda v: -1 if v == "auto" else int(v),
                    default=0, metavar="N|auto",
@@ -117,6 +121,42 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_intersector(engine, intersector, clusters, scene, triangles):
+    """Resolve 'auto' and triangle-scene upgrades; (intersector,
+    clusters, notes).  Shared by the CLI and the interactive REPL.
+
+    Policy for auto (measured, BENCHMARKS.md): baked is 1.3-3x faster
+    but pays a per-scene bake (~30-60 s at ~400 primitives, ~9 min at
+    10k); the dynamic culled path compiles in ~1 min regardless of
+    scene size (structure-only).  Small scenes bake; big ones go
+    dynamic.  Textures require baked on the fused engine.  The XLA
+    engines take their fast default.
+    """
+    notes = []
+    if intersector == "auto":
+        if engine != "fused":
+            intersector = "bruteforce"
+        else:
+            n_prims = len(scene.radii) + (
+                len(triangles.v0) if triangles is not None else 0)
+            intersector = ("baked"
+                           if scene.has_textures or n_prims < 2000
+                           else "bruteforce")
+            if clusters == 0:
+                clusters = -1   # culling on, size by primitive count
+        notes.append(f"note: --intersector auto -> {intersector}"
+                     + (" (clusters auto)" if clusters == -1 else ""))
+    # The fused engine traces triangles via baked or the dynamic culled
+    # path; upgrade plain bruteforce automatically instead of erroring
+    # on the documented flow.
+    if (triangles is not None and engine == "fused"
+            and intersector != "baked" and clusters == 0):
+        intersector = "baked"
+        notes.append("note: triangle scene with --engine fused and no "
+                     "--clusters -> using intersector=baked")
+    return intersector, clusters, notes
+
+
 def build_scene(args):
     """(scene, triangles | None) from parsed CLI args — shared with the
     interactive REPL (app.py) so every documented --scene value works in
@@ -168,19 +208,16 @@ def main(argv=None) -> int:
 
     scene, triangles = build_scene(args)
 
-    # The fused engine traces triangles only via the baked intersector;
-    # upgrade automatically instead of erroring on the documented flow.
-    intersector = args.intersector
-    if args.engine == "fused" and intersector == "bvh":
+    if args.engine == "fused" and args.intersector == "bvh":
         print("error: --engine fused has no bvh intersector (per-lane "
               "gathers are pathological on TPU); use --intersector baked "
               "or bruteforce", file=sys.stderr)
         return 2
-    if triangles is not None and args.engine == "fused" and intersector != "baked":
-        intersector = "baked"
-        if not args.quiet:
-            print("note: triangle scene with --engine fused -> using "
-                  "intersector=baked", file=sys.stderr)
+    intersector, clusters, notes = resolve_intersector(
+        args.engine, args.intersector, args.clusters, scene, triangles)
+    if not args.quiet:
+        for n in notes:
+            print(n, file=sys.stderr)
 
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
@@ -193,7 +230,7 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, samples_per_frame=args.spf,
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
-        baked_clusters=args.clusters, block_tiles=args.block_tiles,
+        baked_clusters=clusters, block_tiles=args.block_tiles,
         winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
         sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
