@@ -155,10 +155,12 @@ def test_tex_lut_budget_controls_fidelity():
 
 
 def test_image_texture_fused_baked():
-    """The fused engine bakes image textures as when-gated <=512-texel
-    LUTs (pallas_kernels._apply_image_textures).  With a 16x16 image
-    the LUT is exact; only the UV binning (polynomial acos/atan2 vs
-    exact) can flip a boundary texel, so the gate is statistical."""
+    """The fused engine bakes image textures as when-gated bounded LUTs
+    (pallas_kernels._apply_image_textures, RGB packed 10:10:10 per
+    int32 select-tree leaf).  With a 16x16 image the LUT is exact up to
+    the 1/1023 pack quantization; only the UV binning (polynomial
+    acos/atan2 vs exact) can flip a boundary texel, so the gate is
+    statistical."""
     scene = _image_scene()
     cc = _cover_camera()
     cfg = BASE.replace(samples_per_pixel=4, samples_per_frame=4)

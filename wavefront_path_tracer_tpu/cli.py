@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AA sampler: 'random' (reference semantics) or "
                         "'stratified' (4x4 stratum AA jitter, unbiased, "
                         "lower variance at low spp; all engines)")
-    p.add_argument("--tex-lut", type=int, default=512, metavar="TEXELS",
+    p.add_argument("--tex-lut", type=int, default=2048, metavar="TEXELS",
                    help="fused/baked: texel budget per image-texture "
                         "LUT (higher = closer to the XLA engines' "
                         "full-res sampling, costlier select tree)")

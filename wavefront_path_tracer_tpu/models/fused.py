@@ -127,7 +127,7 @@ def _plane(x, rows_total):
     return x.reshape(rows_total, _LANES)
 
 
-def _bake_image_luts(scene_arrays, centers, lut_max: int = 512):
+def _bake_image_luts(scene_arrays, centers, lut_max: int = 2048):
     """LUTs for image-textured spheres in the fused baked path.
 
     Per-lane texel gathers are pathological on this device, so each
@@ -161,7 +161,7 @@ def _bake_image_luts(scene_arrays, centers, lut_max: int = 512):
 
 
 def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
-              winner_hint: bool = False, lut_max: int = 512):
+              winner_hint: bool = False, lut_max: int = 2048):
     centers = np.asarray(scene_arrays["centers"])
     # Front-to-back cluster ordering hint (perf only — a stale order is
     # still correct).  Quantized to 1/8 of the scene extent for the

@@ -68,8 +68,11 @@ class RenderConfig:
     # mean-pooled LUTs evaluated by a when-gated select tree whose cost
     # is O(texels) *only for tiles that see the sphere* — raise for
     # fidelity (the XLA engines always sample full resolution), lower
-    # for speed on texture-heavy tiles.
-    tex_lut_max: int = 512
+    # for speed on texture-heavy tiles.  RGB is packed 10:10:10 into
+    # one int32 tree (quantization <= 1/1023 per channel), so the cost
+    # per texel is a third of the per-channel-float form the default
+    # was originally tuned on — hence 2048, not 512.
+    tex_lut_max: int = 2048
     # Fused/baked culled engine: winner-cluster shortlist.  Each lane
     # remembers which cluster its last hit came from; the next
     # intersect prepass-tests exactly those clusters so the consensus
