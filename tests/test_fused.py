@@ -321,3 +321,33 @@ def test_auto_cluster_render_matches_explicit():
     exp16 = render(scene, _cover_camera(), cfg.replace(baked_clusters=16))
     np.testing.assert_array_equal(np.asarray(auto.accumulated),
                                   np.asarray(exp16.accumulated))
+
+
+def test_dynamic_culled_multibatch_matches_unculled():
+    """>16 clusters exercises the pipelined cond refresh (batch k+1's
+    cluster-major cond groups are computed, with 8-aligned stores that
+    may re-store the in-flight batch's tail under a fresher cap, before
+    batch k's sweep runs) — the result must stay identical to the
+    unculled dynamic kernel."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=200, seed=5)
+    cfg = BASE.replace(engine="fused", intersector="bruteforce",
+                       samples_per_pixel=2, samples_per_frame=2)
+    plain = render(scene, _cover_camera(), cfg)
+    culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
+    _statistically_equal(culled, plain)
+
+
+def test_dynamic_culled_fori_sweep_matches_unculled():
+    """>64 clusters falls back from the statically-unrolled cluster
+    sweep to the compact lax fori_loop; same-image gate."""
+    from wavefront_path_tracer_tpu.scene.scene import get_scene
+
+    scene = get_scene("procedural", n=600, seed=5)
+    cfg = BASE.replace(engine="fused", intersector="bruteforce",
+                       samples_per_pixel=1, samples_per_frame=1,
+                       max_bounces=6)
+    plain = render(scene, _cover_camera(), cfg)
+    culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
+    _statistically_equal(culled, plain)
