@@ -35,7 +35,7 @@ from wavefront_path_tracer_tpu.scene import CameraController  # noqa: E402
 from wavefront_path_tracer_tpu.scene.scene import get_scene  # noqa: E402
 from wavefront_path_tracer_tpu.utils.config import RenderConfig  # noqa: E402
 
-W, H, SPP, CLUSTERS = 400, 224, 64, 16
+W, H, SPP, CLUSTERS = 400, 224, 64, 16  # overridable below
 
 
 def main():
@@ -44,12 +44,15 @@ def main():
                     default="full,dyn_dbl_entry,dyn_dbl_cond,"
                             "dyn_dbl_refs,dyn_dbl_global,dyn_split_entry")
     ap.add_argument("--scene", default="book_one_final")
+    ap.add_argument("--clusters", type=int, default=CLUSTERS)
+    ap.add_argument("--spp", type=int, default=SPP)
     opts = ap.parse_args()
 
-    cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP,
-                       samples_per_frame=SPP, max_bounces=50,
+    spp = opts.spp
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       samples_per_frame=spp, max_bounces=50,
                        engine="fused", intersector="bruteforce",
-                       baked_clusters=CLUSTERS, block_tiles=32)
+                       baked_clusters=opts.clusters, block_tiles=32)
     scene = get_scene(opts.scene)
     cc = CameraController.book_one_final()
     arrays = prepare_scene(scene, cfg)
@@ -69,13 +72,13 @@ def main():
             t0 = time.time()
             rad, rays = fused.render_samples(
                 arrays, cam, view, inv_proj, cfg, jnp.uint32(0),
-                jnp.uint32(0), jnp.uint32(SPP))
+                jnp.uint32(0), jnp.uint32(spp))
             nrays = float(rays)
             compile_s = time.time() - t0
             t0 = time.time()
             rad, rays = fused.render_samples(
                 arrays, cam, view, inv_proj, cfg, jnp.uint32(0),
-                jnp.uint32(0), jnp.uint32(SPP))
+                jnp.uint32(0), jnp.uint32(spp))
             nrays = float(rays)
             dt = time.time() - t0
             chk = float(jnp.sum(rad))

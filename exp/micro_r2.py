@@ -712,6 +712,75 @@ def make_kernel_c6(decode: bool):
     return kernel
 
 
+def make_kernel_c7(nattrs: int = 10):
+    """Sphere-major dynamic with FULL attribute select carries — the
+    planned production dynculled structure: per block, merge t/i plus
+    ``nattrs`` attribute planes with (8,128) selects against (8,1)
+    column broadcasts (no scalar extracts, no decode pass, no second
+    pl.when boundary); per row, one final cross-sublane winner reduce
+    (masked sums, ~2 ops/attr/row — amortized over all blocks)."""
+    nblk = S // 8
+
+    def kernel(scn_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               out_ref):
+        f32 = jnp.float32
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(f32)
+
+        def rep(i, carry):
+            acc, bump = carry
+            bump = bump + 1e-6
+            rows_out = []
+            for rr in range(ROWS):
+                ox = jnp.broadcast_to(ox_ref[rr:rr + 1, :], (8, 128))
+                oy = jnp.broadcast_to(oy_ref[rr:rr + 1, :], (8, 128))
+                oz = jnp.broadcast_to(oz_ref[rr:rr + 1, :], (8, 128))
+                dx = jnp.broadcast_to(dx_ref[rr:rr + 1, :], (8, 128)) + bump
+                dy = jnp.broadcast_to(dy_ref[rr:rr + 1, :], (8, 128))
+                dz = jnp.broadcast_to(dz_ref[rr:rr + 1, :], (8, 128))
+                hdx, hdy, hdz = 0.5 * dx, 0.5 * dy, 0.5 * dz
+                dd_o = dx * ox + dy * oy + dz * oz
+                oo2 = ox * ox + oy * oy + oz * oz
+                t8 = jnp.full((8, 128), T_FAR, f32)
+                i8 = jnp.full((8, 128), -1.0, f32)
+                a8 = [jnp.zeros((8, 128), f32)] * nattrs
+                for k in range(nblk):
+                    blk = scn_ref[pl.ds(k * 8, 8), :]
+                    tcx, tcy, tcz = (blk[:, 16:17], blk[:, 17:18],
+                                     blk[:, 18:19])
+                    nb = (hdx * tcx + hdy * tcy + hdz * tcz) - dd_o
+                    c_q = (oo2 + blk[:, 14:15]) - (ox * tcx + oy * tcy
+                                                   + oz * tcz)
+                    disc = nb * nb - c_q
+                    sq = jnp.sqrt(disc)        # NaN when disc < 0
+                    t1 = nb - sq
+                    t2 = nb + sq
+                    t = jnp.where(t1 > T_MIN, t1,
+                                  jnp.where(t2 > T_MIN, t2, T_FAR))
+                    better = t < t8
+                    t8 = jnp.where(better, t, t8)
+                    i8 = jnp.where(better, iota8 + f32(8 * k), i8)
+                    a8 = [jnp.where(better, blk[:, 4 + jj:5 + jj], av)
+                          for jj, av in enumerate(a8)]
+                tmin = jnp.min(t8, axis=0, keepdims=True)
+                ii = jnp.where(t8 == tmin, i8, f32(1e9))
+                imin = jnp.min(ii, axis=0, keepdims=True)
+                winm = i8 == jnp.broadcast_to(imin, (8, 128))
+                outs = tmin
+                for av in a8:
+                    outs = outs + jnp.sum(jnp.where(winm, av, 0.0),
+                                          axis=0, keepdims=True)
+                rows_out.append(outs)
+            acc = acc + jnp.concatenate(rows_out, axis=0)
+            return acc, bump
+
+        acc, _ = jax.lax.fori_loop(
+            0, REPS, rep, (jnp.zeros((ROWS, 128), jnp.float32),
+                           jnp.float32(0.0)))
+        out_ref[:] = acc
+
+    return kernel
+
+
 def make_kernel_a2(decode: bool):
     """Baked sphere-major: block columns as trace-time (8,1) constants
     (hoisted to the constant pool — the baked twin of C6)."""
@@ -841,6 +910,8 @@ if __name__ == "__main__":
     if "C6" in which:
         run_pairs("C6 sphmaj dyn t/i", make_kernel_c6(False), "sm")
         run_pairs("C6d sphmaj dyn+de", make_kernel_c6(True), "sm")
+    if "C7" in which:
+        run_pairs("C7 sphmaj 10sel  ", make_kernel_c7(10), "sm")
     if "A2" in which:
         run_pairs("A2 sphmaj baked  ", make_kernel_a2(False), False)
         run_pairs("A2d sphmaj bak+de", make_kernel_a2(True), False)
