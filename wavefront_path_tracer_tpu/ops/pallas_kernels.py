@@ -443,6 +443,71 @@ def _raygen_tile(xs, ys, pix, frame, sample, cam_ref,
     return ox, oy, oz, dx * inv, dy * inv, dz * inv
 
 
+def _t2_elidable(centers, radii, mat_type, fuzz, triangles=None):
+    """Per-sphere bake-time flag: the far-root (t2) select can be elided.
+
+    The reference always evaluates both quadratic roots
+    (extend.wgsl:185-210) because a ray may start inside a sphere.  But
+    scatter origins lie ON primitive surfaces, so a tested ray can only
+    need t2 (origin strictly inside the tested sphere, by more than the
+    depth whose chord clears T_MIN) when either
+
+    * the sphere is dielectric — refracted rays legitimately travel
+      inside it,
+    * the sphere is a FUZZY metal — ``reflect + fuzz*unit_sphere`` can
+      dip below the surface, re-entering the sphere itself (the
+      reference does not absorb below-horizon scatter, it finds the
+      far-root self-hit; Lambertian ``n + unit_vector`` and fuzz=0
+      reflection cannot go below the surface), or
+    * some OTHER primitive's surface penetrates its interior (a scatter
+      origin on that surface then sits inside).
+
+    Externally tangent contacts — RTIOW's spheres resting on the ground
+    — have penetration exactly 0 and stay elidable: the far root is a
+    3-op/sphere saving on the issue-rate-bound sweep, with bake-time
+    proof that no reachable ray observes the difference.  The tolerance
+    accepts penetrations below max(chord bound T_MIN^2/8r, a few f32
+    ulps of the pair geometry) as modeling noise.  Camera/lens origins
+    inside an *opaque* sphere are out of contract (the scene API places
+    cameras in free space).
+    """
+    import numpy as np
+
+    c = np.asarray(centers, np.float64)
+    r = np.abs(np.asarray(radii, np.float64))
+    mt = np.asarray(mat_type, np.float64)
+    fz = np.asarray(fuzz, np.float64)
+    n = c.shape[0]
+    safe = (mt != 2.0) & ~((mt == 1.0) & (fz > 0.0))
+    eps8 = 8.0 * 1.1920929e-07
+    for s in range(0, n, 256):
+        e = min(n, s + 256)
+        d = np.sqrt(((c[s:e, None, :] - c[None, :, :]) ** 2).sum(-1))
+        pen = r[s:e, None] - np.abs(d - r[None, :])
+        tol = np.maximum(T_MIN * T_MIN / (8.0 * np.maximum(r[s:e, None],
+                                                           1e-30)),
+                         eps8 * (d + r[None, :] + r[s:e, None]))
+        safe[s:e] &= ~(pen > tol).any(axis=1)
+    if triangles is not None and getattr(triangles, "num_triangles", 0):
+        v0 = np.asarray(triangles.v0, np.float64)
+        v1 = v0 + np.asarray(triangles.e1, np.float64)
+        v2 = v0 + np.asarray(triangles.e2, np.float64)
+        lo = np.minimum(np.minimum(v0, v1), v2)
+        hi = np.maximum(np.maximum(v0, v1), v2)
+        for s in range(0, n, 256):
+            e = min(n, s + 256)
+            near = np.clip(c[s:e, None, :], lo[None], hi[None])
+            d = np.sqrt(((near - c[s:e, None, :]) ** 2).sum(-1))
+            tol = np.maximum(T_MIN * T_MIN / (8.0 * np.maximum(r[s:e, None],
+                                                               1e-30)),
+                             eps8 * (d + r[s:e, None]))
+            # Conservative: an AABB within reach of the interior
+            # disables elision (tangent-resting on a mesh floor loses
+            # the optimization rather than risk it).
+            safe[s:e] &= ~(d < r[s:e, None] - tol).any(axis=1)
+    return safe
+
+
 def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
                     triangles=None, tex=None):
     """Build an intersect function with the scene baked as immediates.
@@ -471,12 +536,14 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
     else:
         a2 = np.zeros((n, 3), np.float32)
         ts = np.zeros((n,), np.float32)
+    elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
     sph = [
         (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
          float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
          float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
          float(mat_type[i]),
-         float(a2[i, 0]), float(a2[i, 1]), float(a2[i, 2]), float(ts[i]))
+         float(a2[i, 0]), float(a2[i, 1]), float(a2[i, 2]), float(ts[i]),
+         bool(elide[i]))
         for i in range(n)
     ]
     tris = []
@@ -511,7 +578,8 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
         b_a2g = jnp.zeros(shape, f32)
         b_a2b = jnp.zeros(shape, f32)
         b_ts = jnp.zeros(shape, f32)
-        for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, tscale in sph:
+        for (cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, tscale,
+             el) in sph:
             ocx = ox - cx
             ocy = oy - cy
             ocz = oz - cz
@@ -520,8 +588,14 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
             disc = b_q * b_q - a_q * c_q
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             t1 = (-b_q - sq) * inv_a
-            t2 = (-b_q + sq) * inv_a
-            t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
+            if el:
+                # Far root elided: no reachable ray starts inside this
+                # sphere (see _t2_elidable).
+                t = jnp.where(t1 > T_MIN, t1, T_FAR)
+            else:
+                t2 = (-b_q + sq) * inv_a
+                t = jnp.where(t1 > T_MIN, t1,
+                              jnp.where(t2 > T_MIN, t2, T_FAR))
             t = jnp.where(disc >= 0.0, t, T_FAR)
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
@@ -714,13 +788,15 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     # Carried winner fields: 15 base, +4 texture, +1 winner-cluster id.
     nf = (19 if textured else 15) + (1 if winner_hint else 0)
 
+    _elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
+
     def rows(idx):
         return [
             (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
              float(radii[i]), float(albedo[i, 0]), float(albedo[i, 1]),
              float(albedo[i, 2]), float(fuzz[i]), float(refract_idx[i]),
              float(mat_type[i]), float(t_a2[i, 0]), float(t_a2[i, 1]),
-             float(t_a2[i, 2]), float(t_ts[i]))
+             float(t_a2[i, 2]), float(t_ts[i]), bool(_elide[i]))
             for i in idx
         ]
 
@@ -867,7 +943,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
              b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
             texc = list(carry[15:19]) if textured else []
             key = carry[nf - 1] if winner_hint else None
-            for cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts in sph:
+            for (cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts,
+                 el) in sph:
                 cxp = float(np.float64(cx) - shift[0])
                 cyp = float(np.float64(cy) - shift[1])
                 czp = float(np.float64(cz) - shift[2])
@@ -882,10 +959,16 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 disc = nb * nb - c_q
                 sq = jnp.sqrt(disc)          # NaN when disc < 0
                 t1 = nb - sq
-                t2 = nb + sq
-                # NaN roots fall through both selects to T_FAR.
-                t = jnp.where(t1 > T_MIN, t1,
-                              jnp.where(t2 > T_MIN, t2, T_FAR))
+                # NaN roots fall through the selects to T_FAR.
+                if el:
+                    # Far root elided: no reachable ray starts inside
+                    # this sphere (see _t2_elidable) — 3 fewer vector
+                    # ops on the issue-bound sweep.
+                    t = jnp.where(t1 > T_MIN, t1, T_FAR)
+                else:
+                    t2 = nb + sq
+                    t = jnp.where(t1 > T_MIN, t1,
+                                  jnp.where(t2 > T_MIN, t2, T_FAR))
                 better = t < best_t
                 best_t = jnp.where(better, t, best_t)
                 b_cx = jnp.where(better, cx, b_cx)
