@@ -96,9 +96,9 @@ def main() -> None:
     p.add_argument("--scene", default="book_one_final")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    # Default batch matches the BASELINE convergence workload (1000 spp
-    # rendered in frame batches); small-spp numbers are tail-bound.
-    p.add_argument("--spp", type=int, default=256)
+    # Default batch IS the BASELINE convergence workload (1000 spp at
+    # 1080p in one dispatch); small-spp numbers are tail-bound.
+    p.add_argument("--spp", type=int, default=1000)
     p.add_argument("--engine", default="fused")
     p.add_argument("--intersector", default="baked")
     p.add_argument("--max-bounces", type=int, default=50)
