@@ -781,6 +781,218 @@ def make_kernel_c7(nattrs: int = 10):
     return kernel
 
 
+def make_kernel_c8(entered_rows: int, n_clusters: int = 25,
+                   cluster_size: int = 16, nattrs: int = 10):
+    """Row-gated sphere-major sweep — the granularity_sim candidate.
+
+    Structure: per (cluster, row) pl.when on an input-driven SMEM cond
+    (8x finer consensus than the tile-gated production sweep), SM
+    (t8, i8) carries in (64,128) VMEM refs, then a decode pass over the
+    SAME conds accumulating ``nattrs`` one-hot attributes.  The cond
+    pattern enters ``entered_rows`` of the n_clusters*8 (cluster, row)
+    pairs per cluster-column — granularity_sim says production-like
+    workloads need only ~39% of the tile-gated pair work at this
+    granularity; this kernel measures the realized wall-time cost of
+    the finer structure (extra whens, restage, decode)."""
+    bpc = cluster_size // 8
+
+    def kernel(scn_ref, cond_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, out_ref):
+        f32 = jnp.float32
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(f32)
+
+        def scoped(t_ref, i_ref, *a_refs):
+            def rep(i, carry):
+                acc, bump = carry
+                bump = bump + 1e-6
+                rows_pre = []
+                for rr in range(ROWS):
+                    ox = jnp.broadcast_to(ox_ref[rr:rr + 1, :], (8, 128))
+                    oy = jnp.broadcast_to(oy_ref[rr:rr + 1, :], (8, 128))
+                    oz = jnp.broadcast_to(oz_ref[rr:rr + 1, :], (8, 128))
+                    dx = jnp.broadcast_to(dx_ref[rr:rr + 1, :],
+                                          (8, 128)) + bump
+                    dy = jnp.broadcast_to(dy_ref[rr:rr + 1, :], (8, 128))
+                    dz = jnp.broadcast_to(dz_ref[rr:rr + 1, :], (8, 128))
+                    hdx, hdy, hdz = 0.5 * dx, 0.5 * dy, 0.5 * dz
+                    dd_o = dx * ox + dy * oy + dz * oz
+                    oo2 = ox * ox + oy * oy + oz * oz
+                    rows_pre.append((ox, oy, oz, hdx, hdy, hdz, dd_o, oo2))
+                    t_ref[pl.ds(rr * 8, 8), :] = jnp.full((8, 128), T_FAR,
+                                                          f32)
+                    i_ref[pl.ds(rr * 8, 8), :] = jnp.full((8, 128), -1.0,
+                                                          f32)
+                # Sweep: per (cluster, row) whens, (t, i) carries only.
+                for c in range(n_clusters):
+                    for rr in range(ROWS):
+                        @pl.when(cond_ref[c * ROWS + rr] > 0)
+                        def _(c=c, rr=rr):
+                            ox, oy, oz, hdx, hdy, hdz, dd_o, oo2 = \
+                                rows_pre[rr]
+                            t8 = t_ref[pl.ds(rr * 8, 8), :]
+                            i8 = i_ref[pl.ds(rr * 8, 8), :]
+                            for b in range(bpc):
+                                k = c * bpc + b
+                                blk = scn_ref[pl.ds(k * 8, 8), :]
+                                tcx = blk[:, 16:17]
+                                tcy = blk[:, 17:18]
+                                tcz = blk[:, 18:19]
+                                nb = (hdx * tcx + hdy * tcy
+                                      + hdz * tcz) - dd_o
+                                c_q = (oo2 + blk[:, 14:15]) - (
+                                    ox * tcx + oy * tcy + oz * tcz)
+                                disc = nb * nb - c_q
+                                sq = jnp.sqrt(disc)
+                                t1 = nb - sq
+                                t2 = nb + sq
+                                t = jnp.where(
+                                    t1 > T_MIN, t1,
+                                    jnp.where(t2 > T_MIN, t2, T_FAR))
+                                better = t < t8
+                                t8 = jnp.where(better, t, t8)
+                                i8 = jnp.where(better, iota8 + f32(8 * k),
+                                               i8)
+                            t_ref[pl.ds(rr * 8, 8), :] = t8
+                            i_ref[pl.ds(rr * 8, 8), :] = i8
+                # Decode: same conds, one-hot attr accumulation.
+                for rr in range(ROWS):
+                    tmin = jnp.min(t_ref[pl.ds(rr * 8, 8), :], axis=0,
+                                   keepdims=True)
+                    ii = jnp.where(t_ref[pl.ds(rr * 8, 8), :] == tmin,
+                                   i_ref[pl.ds(rr * 8, 8), :], f32(1e9))
+                    imin = jnp.min(ii, axis=0, keepdims=True)
+                    i_ref[pl.ds(rr * 8, 8), :] = jnp.broadcast_to(
+                        imin, (8, 128))
+                    t_ref[pl.ds(rr * 8, 8), :] = jnp.broadcast_to(
+                        tmin, (8, 128))
+                    for j in range(nattrs):
+                        a_refs[j][pl.ds(rr * 8, 8), :] = jnp.zeros(
+                            (8, 128), f32)
+                for c in range(n_clusters):
+                    for rr in range(ROWS):
+                        @pl.when(cond_ref[c * ROWS + rr] > 0)
+                        def _(c=c, rr=rr):
+                            win = i_ref[pl.ds(rr * 8, 8), :]
+                            accs = [a_refs[j][pl.ds(rr * 8, 8), :]
+                                    for j in range(nattrs)]
+                            for b in range(bpc):
+                                k = c * bpc + b
+                                blk = scn_ref[pl.ds(k * 8, 8), :]
+                                onehot = jnp.where(
+                                    win == iota8 + f32(8 * k), 1.0, 0.0)
+                                for j in range(nattrs):
+                                    accs[j] = accs[j] + onehot * \
+                                        blk[:, 4 + j:5 + j]
+                            for j in range(nattrs):
+                                a_refs[j][pl.ds(rr * 8, 8), :] = accs[j]
+                # Fold winner t + two attrs into the accumulator.
+                outs = []
+                for rr in range(ROWS):
+                    v = (t_ref[pl.ds(rr * 8, 8), :][0:1, :]
+                         + jnp.sum(a_refs[0][pl.ds(rr * 8, 8), :]
+                                   + a_refs[nattrs - 1][pl.ds(rr * 8, 8), :],
+                                   axis=0, keepdims=True))
+                    outs.append(v)
+                acc = acc + jnp.concatenate(outs, axis=0)
+                return acc, bump
+
+            acc, _ = jax.lax.fori_loop(
+                0, REPS, rep, (jnp.zeros((ROWS, 128), jnp.float32),
+                               jnp.float32(0.0)))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped,
+                      *[pltpu.VMEM((ROWS * 8, 128), jnp.float32)
+                        for _ in range(2 + nattrs)])
+
+    return kernel
+
+
+def make_kernel_w8(entered_tile: int, n_clusters: int = 25,
+                   cluster_size: int = 16):
+    """Production-shaped baseline for C8: tile-gated ray-major baked
+    sweep (immediates, 11 attr selects) over the same cluster count,
+    entering ``entered_tile`` clusters via the same input-driven SMEM
+    conds (tile granularity: one cond per cluster)."""
+    bpc = cluster_size // 8
+
+    def kernel(cond_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               out_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        f32 = jnp.float32
+        shape = ox.shape
+        zeros = jnp.zeros(shape, f32)
+
+        def scoped(*refs):
+            t_ref = refs[0]
+
+            def rep(i, carry):
+                acc, dxm = carry
+                dxm = dxm + 1e-6
+                t_ref[:] = jnp.full(shape, T_FAR, f32)
+                for j in range(1, 11):
+                    refs[j][:] = zeros
+                for c in range(n_clusters):
+                    @pl.when(cond_ref[c] > 0)
+                    def _(c=c):
+                        vals = [r[:] for r in refs]
+                        bt = vals[0]
+                        b = vals[1:]
+                        for s in range(cluster_size):
+                            cx, cy, cz, r, *a = SPH[
+                                (c * cluster_size + s) % S]
+                            t, better = quadratic(ox, oy, oz, dxm, dy, dz,
+                                                  cx, cy, cz, r, bt)
+                            bt = jnp.where(better, t, bt)
+                            b = [jnp.where(better, av, bv)
+                                 for av, bv in zip(a, b)]
+                        refs[0][:] = bt
+                        for j in range(1, 11):
+                            refs[j][:] = b[j - 1]
+                acc = acc + t_ref[:] + refs[1][:] + refs[10][:]
+                return acc, dxm
+
+            acc, _ = jax.lax.fori_loop(0, REPS, rep, (zeros, dx))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped, *[pltpu.VMEM(shape, jnp.float32)
+                                for _ in range(11)])
+
+    return kernel
+
+
+def run_gated(name, kernel, n_conds, entered, pairs_per_rep):
+    """Timing harness for the cond-gated variants: a fixed pseudo-random
+    cond pattern with ``entered`` ones, effective-pair metric."""
+    rs = np.random.RandomState(7)
+    cond = np.zeros(n_conds, np.int32)
+    cond[rs.choice(n_conds, entered, replace=False)] = 1
+    ins = [jnp.asarray(PACKED_SM), jnp.asarray(cond)] if "C8" in name \
+        else [jnp.asarray(cond)]
+    ins += [jnp.asarray(x) for x in (ox0, oy0, oz0, dx0, dy0, dz0)]
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    specs = ([full, smem] if "C8" in name else [smem]) + [full] * 6
+    fn = jax.jit(functools.partial(
+        pl.pallas_call, kernel,
+        in_specs=specs, out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.float32))())
+    t0 = time.time()
+    out = np.asarray(fn(*ins))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = np.asarray(fn(*ins))
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(f"{name}: {dt / REPS * 1e9:.0f} ns/iter "
+          f"({pairs_per_rep * REPS / dt / 1e9:.1f} Gpairs/s eff, "
+          f"compile {compile_s:.0f}s, checksum {out.sum():.3e})",
+          flush=True)
+
+
 def make_kernel_a2(decode: bool):
     """Baked sphere-major: block columns as trace-time (8,1) constants
     (hoisted to the constant pool — the baked twin of C6)."""
@@ -910,6 +1122,14 @@ if __name__ == "__main__":
     if "C6" in which:
         run_pairs("C6 sphmaj dyn t/i", make_kernel_c6(False), "sm")
         run_pairs("C6d sphmaj dyn+de", make_kernel_c6(True), "sm")
+    if "C8" in which:
+        # Entry counts from exp/granularity_sim.py --persistent:
+        # tile-gated enters ~12/25 clusters; row granularity needs
+        # 0.39x the pairs -> ~37 of 200 (cluster, row) pairs.
+        run_gated("W8 tile-gated RM ", make_kernel_w8(12), 25, 12,
+                  12 * 16 * 1024)
+        run_gated("C8 row-gated SM  ", make_kernel_c8(37), 200, 37,
+                  37 * 16 * 128)
     if "C7" in which:
         run_pairs("C7 sphmaj 10sel  ", make_kernel_c7(10), "sm")
     if "A2" in which:
