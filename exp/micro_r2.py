@@ -908,6 +908,142 @@ def make_kernel_c8(entered_rows: int, n_clusters: int = 25,
     return kernel
 
 
+def make_kernel_c9(n_clusters: int = 25, cluster_size: int = 16,
+                   nattrs: int = 10):
+    """Worklist-driven row-gated sphere-major sweep — C8 without the
+    pl.when wall (C8 measured ~243 ns per boundary, 2.25x slower than
+    tile-gating despite 0.39x pairs).
+
+    Entered (cluster, row) pairs come from per-cluster 8-bit row masks
+    (SMEM input; production builds them in the cond pass for ~3 vector
+    ops per 8-cluster group).  The sweep is an outer fori over clusters
+    with an inner scalar while over set mask bits (ctz via
+    population_count) — no vector-pipeline branches; skipped work costs
+    loop-counter scalars only.  Dynamic-base block loads (W7-validated)
+    and dynamic row slices of the ray planes; full attribute carries
+    (no decode pass)."""
+    bpc = cluster_size // 8
+
+    def kernel(scn_ref, mask_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, out_ref):
+        f32 = jnp.float32
+        i32 = jnp.int32
+        iota8 = jax.lax.broadcasted_iota(i32, (8, 128), 0).astype(f32)
+
+        def scoped(pre_ref, t_ref, i_ref, *a_refs):
+            def rep(i, carry):
+                acc, bump = carry
+                bump = bump + 1e-6
+                # Stage per-row ray invariants: pre_ref rows r*8..r*8+8
+                # hold [ox, oy, oz, hdx, hdy, hdz, dd_o, oo2] broadcast
+                # is NOT needed -- store one (1,128) row per quantity,
+                # pre_ref layout (8 quantities x 8 rows, 128).
+                for rr in range(ROWS):
+                    ox = ox_ref[rr:rr + 1, :]
+                    oy = oy_ref[rr:rr + 1, :]
+                    oz = oz_ref[rr:rr + 1, :]
+                    dx = dx_ref[rr:rr + 1, :] + bump
+                    dy = dy_ref[rr:rr + 1, :]
+                    dz = dz_ref[rr:rr + 1, :]
+                    vals = [ox, oy, oz, 0.5 * dx, 0.5 * dy, 0.5 * dz,
+                            dx * ox + dy * oy + dz * oz,
+                            ox * ox + oy * oy + oz * oz]
+                    for q, v in enumerate(vals):
+                        pre_ref[pl.ds(q * 8 + rr, 1), :] = v
+                    t_ref[pl.ds(rr * 8, 8), :] = jnp.full((8, 128), T_FAR,
+                                                          f32)
+                    i_ref[pl.ds(rr * 8, 8), :] = jnp.full((8, 128), -1.0,
+                                                          f32)
+                    for j in range(nattrs):
+                        a_refs[j][pl.ds(rr * 8, 8), :] = jnp.zeros(
+                            (8, 128), f32)
+
+                def do_pair(c, r):
+                    q = [jnp.broadcast_to(pre_ref[pl.ds(qq * 8 + r, 1), :],
+                                          (8, 128)) for qq in range(8)]
+                    ox, oy, oz, hdx, hdy, hdz, dd_o, oo2 = q
+                    t8 = t_ref[pl.ds(r * 8, 8), :]
+                    i8 = i_ref[pl.ds(r * 8, 8), :]
+                    a8 = [a_refs[j][pl.ds(r * 8, 8), :]
+                          for j in range(nattrs)]
+                    for b in range(bpc):
+                        k = c * bpc + b
+                        blk = scn_ref[pl.ds(k * 8, 8), :]
+                        tcx = blk[:, 16:17]
+                        tcy = blk[:, 17:18]
+                        tcz = blk[:, 18:19]
+                        nb = (hdx * tcx + hdy * tcy + hdz * tcz) - dd_o
+                        c_q = (oo2 + blk[:, 14:15]) - (ox * tcx + oy * tcy
+                                                       + oz * tcz)
+                        disc = nb * nb - c_q
+                        sq = jnp.sqrt(disc)
+                        t1 = nb - sq
+                        t2 = nb + sq
+                        t = jnp.where(t1 > T_MIN, t1,
+                                      jnp.where(t2 > T_MIN, t2, T_FAR))
+                        better = t < t8
+                        t8 = jnp.where(better, t, t8)
+                        i8 = jnp.where(better,
+                                       iota8 + (k * 8).astype(f32), i8)
+                        a8 = [jnp.where(better, blk[:, 4 + j:5 + j], av)
+                              for j, av in enumerate(a8)]
+                    t_ref[pl.ds(r * 8, 8), :] = t8
+                    i_ref[pl.ds(r * 8, 8), :] = i8
+                    for j in range(nattrs):
+                        a_refs[j][pl.ds(r * 8, 8), :] = a8[j]
+
+                def cluster_step(c, x):
+                    def row_cond(s):
+                        return s[0] != 0
+
+                    def row_body(s):
+                        m, _ = s
+                        low = m & (-m)
+                        # ctz of a power of two in [1, 128], int-only
+                        # (population_count is unsupported on scalars).
+                        r = (((low & 0xAA) != 0).astype(jnp.int32)
+                             + 2 * ((low & 0xCC) != 0).astype(jnp.int32)
+                             + 4 * ((low & 0xF0) != 0).astype(jnp.int32))
+                        do_pair(c, r)
+                        return m & (m - 1), 0
+
+                    jax.lax.while_loop(row_cond, row_body,
+                                       (mask_ref[c], 0))
+                    return x
+
+                jax.lax.fori_loop(0, n_clusters, cluster_step, 0)
+
+                # Winner extraction per row: masked sums over sublanes.
+                outs = []
+                for rr in range(ROWS):
+                    t8 = t_ref[pl.ds(rr * 8, 8), :]
+                    i8 = i_ref[pl.ds(rr * 8, 8), :]
+                    tmin = jnp.min(t8, axis=0, keepdims=True)
+                    ii = jnp.where(t8 == tmin, i8, f32(1e9))
+                    imin = jnp.min(ii, axis=0, keepdims=True)
+                    winm = i8 == jnp.broadcast_to(imin, (8, 128))
+                    v = tmin
+                    for j in (0, nattrs - 1):
+                        v = v + jnp.sum(
+                            jnp.where(winm, a_refs[j][pl.ds(rr * 8, 8), :],
+                                      0.0), axis=0, keepdims=True)
+                    outs.append(v)
+                acc = acc + jnp.concatenate(outs, axis=0)
+                return acc, bump
+
+            acc, _ = jax.lax.fori_loop(
+                0, REPS, rep, (jnp.zeros((ROWS, 128), jnp.float32),
+                               jnp.float32(0.0)))
+            out_ref[:] = acc
+
+        pl.run_scoped(scoped,
+                      pltpu.VMEM((64, 128), jnp.float32),
+                      *[pltpu.VMEM((ROWS * 8, 128), jnp.float32)
+                        for _ in range(2 + nattrs)])
+
+    return kernel
+
+
 def make_kernel_w8(entered_tile: int, n_clusters: int = 25,
                    cluster_size: int = 16):
     """Production-shaped baseline for C8: tile-gated ray-major baked
@@ -968,12 +1104,22 @@ def run_gated(name, kernel, n_conds, entered, pairs_per_rep):
     rs = np.random.RandomState(7)
     cond = np.zeros(n_conds, np.int32)
     cond[rs.choice(n_conds, entered, replace=False)] = 1
-    ins = [jnp.asarray(PACKED_SM), jnp.asarray(cond)] if "C8" in name \
-        else [jnp.asarray(cond)]
+    if "C9" in name:
+        # Same entered pattern, packed as per-cluster 8-bit row masks.
+        masks = np.zeros(n_conds // 8, np.int32)
+        for ci in range(n_conds):
+            if cond[ci]:
+                masks[ci // 8] |= 1 << (ci % 8)
+        ins = [jnp.asarray(PACKED_SM), jnp.asarray(masks)]
+    elif "C8" in name:
+        ins = [jnp.asarray(PACKED_SM), jnp.asarray(cond)]
+    else:
+        ins = [jnp.asarray(cond)]
     ins += [jnp.asarray(x) for x in (ox0, oy0, oz0, dx0, dy0, dz0)]
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    specs = ([full, smem] if "C8" in name else [smem]) + [full] * 6
+    specs = ([full, smem] if ("C8" in name or "C9" in name)
+             else [smem]) + [full] * 6
     fn = jax.jit(functools.partial(
         pl.pallas_call, kernel,
         in_specs=specs, out_specs=full,
@@ -1129,6 +1275,9 @@ if __name__ == "__main__":
         run_gated("W8 tile-gated RM ", make_kernel_w8(12), 25, 12,
                   12 * 16 * 1024)
         run_gated("C8 row-gated SM  ", make_kernel_c8(37), 200, 37,
+                  37 * 16 * 128)
+    if "C9" in which:
+        run_gated("C9 worklist SM   ", make_kernel_c9(), 200, 37,
                   37 * 16 * 128)
     if "C7" in which:
         run_pairs("C7 sphmaj 10sel  ", make_kernel_c7(10), "sm")
