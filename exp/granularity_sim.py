@@ -218,7 +218,9 @@ def main():
 
     schemes = ["tile/cam", "tile/oct", "row/cam", "row/oct", "ray/ideal"]
     pairs = {s: 0.0 for s in schemes}    # lane-pairs charged
+    entered = {s: 0 for s in schemes}    # entered groups (when count)
     live_total = 0.0
+    iters_total = 0
     pairs_b0 = {s: 0.0 for s in schemes}
     live_b0 = 0.0
 
@@ -251,8 +253,11 @@ def main():
                                  radii[globs]).min(-1)
 
             def run(groups, order_fn):
-                """Sweep with per-group consensus; returns lane-pairs."""
+                """Sweep with per-group consensus; returns (lane-pairs,
+                entered-group-count) — the latter drives the pl.when
+                boundary cost model (~243 ns per entered group)."""
                 total = 0.0
+                n_entered = 0
                 for g in groups:
                     ga = alive[g]
                     if not ga.any():
@@ -265,9 +270,10 @@ def main():
                             cap = np.minimum(best, t_exit[g])
                         if (ga & (ent[g, ci] < cap)).any():
                             total += len(g) * len(clusters[ci][2])
+                            n_entered += 1
                             best = np.minimum(best, mt[g, ci])
                     total += len(g) * n_glob  # globals always tested
-                return total
+                return total, n_entered
 
             rows = [np.arange(r * 128, min((r + 1) * 128, R))
                     for r in range(8) if r * 128 < R]
@@ -283,12 +289,14 @@ def main():
                 key = cmid @ sgn
                 return np.argsort(key)
 
-            res = {
-                "tile/cam": run(tile_g, lambda g: cam_order),
-                "tile/oct": run(tile_g, oct_order),
-                "row/cam": run(rows, lambda g: cam_order),
-                "row/oct": run(rows, oct_order),
-            }
+            res = {}
+            ent_n = {}
+            for name, gr, ofn in (
+                    ("tile/cam", tile_g, lambda g: cam_order),
+                    ("tile/oct", tile_g, oct_order),
+                    ("row/cam", rows, lambda g: cam_order),
+                    ("row/oct", rows, oct_order)):
+                res[name], ent_n[name] = run(gr, ofn)
             # Per-ray ideal: sort clusters by entry distance per ray,
             # sweep until entry exceeds the running exact cap.
             ideal = 0.0
@@ -304,25 +312,34 @@ def main():
                     best = min(best, mt[live_i, ci])
             ideal += nlive * n_glob
             res["ray/ideal"] = ideal
+            ent_n["ray/ideal"] = 0
 
             for s in schemes:
                 pairs[s] += res[s]
+                entered[s] += ent_n[s]
                 if bounce == 0:
                     pairs_b0[s] += res[s]
             live_total += nlive
+            iters_total += 1
             if bounce == 0:
                 live_b0 += nlive
 
     print(f"\nlive ray-bounces: {live_total:.0f} "
           f"(bounce0 {100 * live_b0 / live_total:.0f}%)")
     print(f"{'scheme':<10} {'lane-pairs/live-ray':>20} {'vs tile/cam':>12} "
-          f"{'bounce0':>9} {'bounce>0':>9}")
+          f"{'bounce0':>9} {'bounce>0':>9} {'modeled':>9}")
     base = pairs["tile/cam"] / live_total
     for s in schemes:
         v = pairs[s] / live_total
         v0 = pairs_b0[s] / max(live_b0, 1)
         vn = (pairs[s] - pairs_b0[s]) / max(live_total - live_b0, 1)
-        print(f"{s:<10} {v:>20.1f} {v / base:>11.2f}x {v0:>9.1f} {vn:>9.1f}")
+        # Device-cost model per tile-iteration (measured constants:
+        # ~243 ns per entered pl.when group, ~26.5 ns per
+        # 1024-lane-pair sphere test op-group).
+        t_model = (entered[s] * 243.0 + v * live_total / 1024 * 26.5) \
+            / max(iters_total, 1)
+        print(f"{s:<10} {v:>20.1f} {v / base:>11.2f}x {v0:>9.1f} "
+              f"{vn:>9.1f} {t_model:>7.0f}ns")
 
 
 def persistent_main(args, cfg, states, globs, clusters, slab,
