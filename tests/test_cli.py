@@ -113,3 +113,13 @@ def test_resolve_intersector_auto_policy():
     assert it == "baked" and notes
     it, cl, notes = resolve_intersector("fused", "bruteforce", 16, scene, tris)
     assert (it, cl) == ("bruteforce", 16) and not notes
+
+
+def test_cli_aov(tmp_path):
+    assert main(_args(tmp_path, "--aov", str(tmp_path / "p"))) == 0
+    for suffix in ("aov.npz", "albedo.png", "normal.png", "depth.png"):
+        assert (tmp_path / f"p.{suffix}").exists()
+    d = np.load(tmp_path / "p.aov.npz")
+    assert d["depth"].shape == (18, 32)
+    assert 0.0 < d["coverage"].mean() <= 1.0
+    assert (d["depth"][d["coverage"] > 0] > 0).all()

@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defocus-angle", type=float, default=0.6)
     p.add_argument("--focus-distance", type=float, default=10.0)
     p.add_argument("--out", default="render.png")
+    p.add_argument("--aov", default=None, metavar="PREFIX",
+                   help="also write first-hit AOV passes (albedo / "
+                        "normal / depth + raw npz) as PREFIX.*.png")
     p.add_argument("--preview", default=None, metavar="PNG",
                    help="rewrite this PNG after every frame batch and "
                         "emit an auto-refresh HTML viewer next to it "
@@ -329,6 +332,14 @@ def main(argv=None) -> int:
         print("nothing to render (SPP budget already met)", file=sys.stderr)
         return 1
     write_png(args.out, result.image)
+    if args.aov:
+        from wavefront_path_tracer_tpu.aov import render_aovs, write_aovs
+
+        paths = write_aovs(args.aov, render_aovs(
+            scene, cc, cfg, triangles=triangles,
+            spp=min(cfg.samples_per_pixel, 16)))
+        if not args.quiet:
+            print(f"wrote AOVs: {', '.join(paths)}", file=sys.stderr)
     if not args.quiet:
         total = time.perf_counter() - t_start
         print(
