@@ -1,0 +1,37 @@
+"""Per-sample radiance clamp (firefly suppression)."""
+
+import numpy as np
+import pytest
+
+from wavefront_path_tracer_tpu.renderer import render
+from wavefront_path_tracer_tpu.scene.scene import book_cover
+
+from tests.test_engines import BASE, _cover_camera
+
+
+@pytest.mark.parametrize("engine", ["megakernel", "wavefront", "fused"])
+def test_clamp_bounds_samples(book_cover_scene, engine):
+    """With clamp C every per-sample contribution is <= C, so the
+    spp-sample accumulation is <= C * spp."""
+    cfg = BASE.replace(engine=engine, clamp=0.25,
+                       samples_per_pixel=4, samples_per_frame=4)
+    r = render(book_cover_scene, _cover_camera(), cfg)
+    assert (r.accumulated <= 4 * 0.25 + 1e-5).all()
+    assert r.accumulated.mean() > 0.01   # not all clamped to nothing
+    # And the clamp actually engages: the unclamped render exceeds it.
+    off = render(book_cover_scene, _cover_camera(), cfg.replace(clamp=0.0))
+    assert off.accumulated.max() > r.accumulated.max()
+
+
+@pytest.mark.parametrize("engine", ["megakernel", "wavefront", "fused"])
+def test_huge_clamp_is_identity(book_cover_scene, engine):
+    cfg = BASE.replace(engine=engine, samples_per_pixel=2,
+                       samples_per_frame=2)
+    off = render(book_cover_scene, _cover_camera(), cfg)
+    big = render(book_cover_scene, _cover_camera(), cfg.replace(clamp=1e9))
+    np.testing.assert_array_equal(off.accumulated, big.accumulated)
+
+
+def test_clamp_validation():
+    with pytest.raises(ValueError):
+        BASE.replace(clamp=-1.0)

@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defocus-angle", type=float, default=0.6)
     p.add_argument("--focus-distance", type=float, default=10.0)
     p.add_argument("--out", default="render.png")
+    p.add_argument("--clamp", type=float, default=0.0,
+                   help="per-sample radiance clamp (firefly "
+                        "suppression; biased; 0 = off)")
     p.add_argument("--aov", default=None, metavar="PREFIX",
                    help="also write first-hit AOV passes (albedo / "
                         "normal / depth + raw npz) as PREFIX.*.png")
@@ -237,6 +240,7 @@ def main(argv=None) -> int:
         winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
         sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
+        clamp=args.clamp,
     )
 
     stage_timer = None

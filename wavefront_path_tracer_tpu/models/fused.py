@@ -433,6 +433,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            clamp=config.clamp,
             sampler=config.sampler,
         )
     elif dyn_tables is not None:
@@ -445,6 +446,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            clamp=config.clamp,
             sampler=config.sampler,
         )
     else:
@@ -458,6 +460,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,
             rr_floor=config.rr_floor,
+            clamp=config.clamp,
             sampler=config.sampler,
         )
     radiance = jnp.stack(

@@ -58,9 +58,12 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
 
         # Miss: terminal sky contribution (K4 semantics).
         missed = alive & ~hit
-        radiance = radiance + jnp.where(
-            missed[:, None], throughput * sky_color(direction), 0.0
-        )
+        contrib = throughput * sky_color(direction)
+        if config.clamp > 0.0:
+            # Per-sample firefly clamp (the miss event carries the
+            # sample's whole radiance).
+            contrib = jnp.minimum(contrib, config.clamp)
+        radiance = radiance + jnp.where(missed[:, None], contrib, 0.0)
 
         # Hit: attenuate and scatter (K3 semantics).
         p = origin + t[:, None] * direction

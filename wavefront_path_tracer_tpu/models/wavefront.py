@@ -148,6 +148,8 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
 
         # K4 miss: terminal sky contribution, scattered back to pixels.
         sky = q_throughput * sky_color(q_dir)
+        if config.clamp > 0.0:
+            sky = jnp.minimum(sky, config.clamp)  # per-sample firefly clamp
         radiance = radiance.at[q_slot].add(
             jnp.where(missed[:, None], sky, 0.0), mode="drop"
         )
@@ -289,9 +291,11 @@ def _k2_extend(q_origin, q_dir, count, scene_arrays, config):
     return _extend(q_origin, q_dir, count, scene_arrays, config)
 
 
-@jax.jit
-def _k4_miss(radiance, q_slot, q_throughput, q_dir, missed):
+@functools.partial(jax.jit, static_argnames=("clamp",))
+def _k4_miss(radiance, q_slot, q_throughput, q_dir, missed, clamp=0.0):
     sky = q_throughput * sky_color(q_dir)
+    if clamp > 0.0:
+        sky = jnp.minimum(sky, clamp)  # per-sample firefly clamp
     return radiance.at[q_slot].add(
         jnp.where(missed[:, None], sky, 0.0), mode="drop")
 
@@ -358,7 +362,7 @@ def render_samples_staged(scene_arrays, cam, view, inv_proj,
             hit = hit & live
             with timer.time("miss"):
                 radiance = _k4_miss(radiance, q_slot, q_throughput, q_dir,
-                                    live & ~hit)
+                                    live & ~hit, clamp=config.clamp)
                 jax.block_until_ready(radiance)
             with timer.time("shade"):
                 q_origin, q_dir, q_throughput = _k3_shade(

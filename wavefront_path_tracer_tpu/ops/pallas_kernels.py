@@ -1813,7 +1813,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
 def make_persistent_tile(intersect_fn=None, rotate: bool = True,
                          rotate_cols: int = 1, rr_start: int = 0,
-                         rr_floor: float = 0.05,
+                         rr_floor: float = 0.05, clamp: float = 0.0,
                          sampler: str = "random"):
     """Build the persistent-lane kernel.
 
@@ -1840,7 +1840,7 @@ def make_persistent_tile(intersect_fn=None, rotate: bool = True,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
                          rotate_cols=rotate_cols, rr_start=rr_start,
-                         rr_floor=rr_floor, sampler=sampler)
+                         rr_floor=rr_floor, clamp=clamp, sampler=sampler)
 
     return kernel
 
@@ -1859,6 +1859,7 @@ def _persistent_impl(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    clamp: float = 0.0,
     sampler: str = "random",
 ):
     """Persistent-lane megakernel body: renders ALL samples of a tile.
@@ -2051,6 +2052,13 @@ def _persistent_impl(
         con_r = tr * ((1.0 - sky_a) + sky_a * 0.5)
         con_g = tg * ((1.0 - sky_a) + sky_a * 0.7)
         con_b = tb * ((1.0 - sky_a) + sky_a * 1.0)
+        if clamp > 0.0:
+            # Firefly clamp: the miss event carries the sample's whole
+            # radiance, so this is a per-sample componentwise clamp
+            # (biased, standard production control; off by default).
+            con_r = jnp.minimum(con_r, clamp)
+            con_g = jnp.minimum(con_g, clamp)
+            con_b = jnp.minimum(con_b, clamp)
         def accumulate_miss(cr, cg, cb):
             for m in range(n_off):
                 mm = missed if masks[m] is None else (missed & masks[m])
@@ -2174,7 +2182,7 @@ def _persistent_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("rows", "interpret", "rotate", "rotate_cols",
-                     "rr_start", "rr_floor", "sampler"))
+                     "rr_start", "rr_floor", "clamp", "sampler"))
 def fused_render_persistent(
     scene_packed,   # (S, 16) f32
     n_spheres,      # i32 scalar
@@ -2187,6 +2195,7 @@ def fused_render_persistent(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    clamp: float = 0.0,
     sampler: str = "random",
 ):
     """All samples x all bounces, persistent lanes, one Pallas call.
@@ -2208,7 +2217,7 @@ def fused_render_persistent(
     outs = pl.pallas_call(
         make_persistent_tile(rotate=rotate, rotate_cols=rotate_cols,
                              rr_start=rr_start, rr_floor=rr_floor,
-                             sampler=sampler),
+                             clamp=clamp, sampler=sampler),
         grid=grid,
         in_specs=[full, smem_i, smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -2228,7 +2237,8 @@ def fused_render_persistent(
 @functools.partial(
     jax.jit,
     static_argnames=("baked_fn", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start", "rr_floor", "sampler"),
+                     "rotate_cols", "rr_start", "rr_floor", "clamp",
+                     "sampler"),
 )
 def fused_render_baked(
     baked_fn,       # hashable intersect closure from baked_intersect()
@@ -2241,6 +2251,7 @@ def fused_render_baked(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    clamp: float = 0.0,
     sampler: str = "random",
 ):
     """Persistent-lane render with the scene baked into the kernel."""
@@ -2257,7 +2268,8 @@ def fused_render_baked(
     outs = pl.pallas_call(
         make_persistent_tile(baked_fn, rotate=rotate,
                              rotate_cols=rotate_cols, rr_start=rr_start,
-                             rr_floor=rr_floor, sampler=sampler),
+                             rr_floor=rr_floor, clamp=clamp,
+                             sampler=sampler),
         grid=grid,
         in_specs=[smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
@@ -2276,7 +2288,8 @@ def fused_render_baked(
     jax.jit,
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
                      "cluster_size", "rows", "interpret", "rotate",
-                     "rotate_cols", "rr_start", "rr_floor", "sampler"),
+                     "rotate_cols", "rr_start", "rr_floor", "clamp",
+                     "sampler"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -2294,6 +2307,7 @@ def fused_render_dynculled(
     rotate_cols: int = 1,
     rr_start: int = 0,
     rr_floor: float = 0.05,
+    clamp: float = 0.0,
     sampler: str = "random",
 ):
     """Persistent-lane render with the dynamic consensus-culled
@@ -2321,7 +2335,7 @@ def fused_render_dynculled(
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,
                          rotate_cols=rotate_cols, rr_start=rr_start,
-                         rr_floor=rr_floor, sampler=sampler)
+                         rr_floor=rr_floor, clamp=clamp, sampler=sampler)
 
     outs = pl.pallas_call(
         kernel,

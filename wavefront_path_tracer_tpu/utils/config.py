@@ -103,6 +103,9 @@ class RenderConfig:
     # unbiased, lower pixel variance at low spp).  All engines share
     # the formula, so cross-engine bit-identity is preserved.
     sampler: str = "random"
+    # Per-sample componentwise radiance clamp (firefly suppression;
+    # biased, standard production control).  0 disables.
+    clamp: float = 0.0
     # Exact termination (0, default) vs the reference's lossy early
     # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
     # stops once a bounce produces fewer than N misses — the reference's
@@ -127,6 +130,8 @@ class RenderConfig:
         if self.tex_lut_max < 4:
             raise ValueError(
                 f"tex_lut_max must be >= 4, got {self.tex_lut_max}")
+        if self.clamp < 0.0:
+            raise ValueError("clamp must be >= 0 (0 disables)")
         if self.sampler not in ("random", "stratified"):
             raise ValueError(
                 f"sampler must be 'random' or 'stratified', "
