@@ -35,3 +35,22 @@ def test_huge_clamp_is_identity(book_cover_scene, engine):
 def test_clamp_validation():
     with pytest.raises(ValueError):
         BASE.replace(clamp=-1.0)
+
+
+def test_adaptive_stop(book_cover_scene):
+    """stop_delta ends the progressive loop once the display image
+    stops changing; the SPP budget stays the hard cap."""
+    from wavefront_path_tracer_tpu.renderer import Renderer
+
+    cfg = BASE.replace(engine="megakernel", samples_per_pixel=64,
+                       samples_per_frame=4, stop_delta=0.02)
+    ren = Renderer(book_cover_scene, _cover_camera(), cfg)
+    r = ren.render()
+    assert ren.last_delta is not None and ren.last_delta < 0.02
+    assert 8 <= r.samples < 64          # stopped early, after >= 2 batches
+
+    full = render(book_cover_scene, _cover_camera(),
+                  cfg.replace(stop_delta=0.0))
+    assert full.samples == 64
+    # The early-stopped image is already close to the full render.
+    assert np.abs(r.image - full.image).mean() < 0.05

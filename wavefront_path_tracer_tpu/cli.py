@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clamp", type=float, default=0.0,
                    help="per-sample radiance clamp (firefly "
                         "suppression; biased; 0 = off)")
+    p.add_argument("--until-delta", type=float, default=0.0,
+                   metavar="D",
+                   help="stop early once the display image changes by "
+                        "less than D (mean abs per channel) between "
+                        "frame batches; --spp stays the hard cap")
     p.add_argument("--aov", default=None, metavar="PREFIX",
                    help="also write first-hit AOV passes (albedo / "
                         "normal / depth + raw npz) as PREFIX.*.png")
@@ -240,7 +245,7 @@ def main(argv=None) -> int:
         winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
         sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
-        clamp=args.clamp,
+        clamp=args.clamp, stop_delta=args.until_delta,
     )
 
     stage_timer = None

@@ -174,6 +174,11 @@ class Renderer:
         self.stage_timer = stage_timer
         self.scene_arrays = prepare_scene(scene, config, triangles)
         self.progress = RenderProgress()
+        # Convergence-stop state (config.stop_delta > 0): previous
+        # display image and the last measured frame-to-frame delta.
+        self._prev_display = None
+        self.last_delta = None
+        self._converged = False
         # Device-resident accumulator: never round-trips to the host
         # between frames (unlike the reference's display path, the host
         # only sees it on export).
@@ -191,13 +196,16 @@ class Renderer:
     def reset_accumulation(self) -> None:
         self.progress.reset()
         self._accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        self._prev_display = None
+        self.last_delta = None
+        self._converged = False
 
     def render_frame(self) -> Optional[RenderResult]:
         """Run one SPF batch (one 'frame'); returns the running result,
         or None when the SPP budget is already met."""
         cfg = self.config
         remaining = cfg.samples_per_pixel - self.progress.accumulated_samples
-        if remaining <= 0:
+        if remaining <= 0 or self._converged:
             return None
         n_samples = min(cfg.samples_per_frame, remaining)
         view = jnp.asarray(self.camera.view_matrix())
@@ -248,7 +256,7 @@ class Renderer:
         self._accum = self._accum + rad
         self.progress.accumulated_samples += n_samples
         self.progress.frame += 1
-        return RenderResult(
+        result = RenderResult(
             accumulated_dev=self._accum.reshape(cfg.height, cfg.width, 3),
             samples=self.progress.accumulated_samples,
             wall_time_s=dt,
@@ -256,6 +264,19 @@ class Renderer:
             rays_traced=rays,
             kernel_stats=kernel_stats,
         )
+        if cfg.stop_delta > 0.0:
+            # Adaptive stop: mean absolute display-image change per
+            # frame batch.  The display image is what the user sees, so
+            # "it stopped visibly changing" is the stopping criterion;
+            # the SPP budget stays the hard cap (beyond reference).
+            img = result.image
+            if self._prev_display is not None:
+                self.last_delta = float(
+                    np.abs(img - self._prev_display).mean())
+                if self.last_delta < cfg.stop_delta:
+                    self._converged = True
+            self._prev_display = img
+        return result
 
     def render(self) -> RenderResult:
         """Render the full SPP budget; returns the final result."""

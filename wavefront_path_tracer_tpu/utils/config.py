@@ -106,6 +106,10 @@ class RenderConfig:
     # Per-sample componentwise radiance clamp (firefly suppression;
     # biased, standard production control).  0 disables.
     clamp: float = 0.0
+    # Adaptive stop: end the progressive loop when the mean absolute
+    # display-image change per frame batch falls below this (the SPP
+    # budget stays the hard cap).  0 disables.
+    stop_delta: float = 0.0
     # Exact termination (0, default) vs the reference's lossy early
     # break (path_tracer.rs:330-332): with N > 0 the wavefront loop
     # stops once a bounce produces fewer than N misses — the reference's
@@ -132,6 +136,8 @@ class RenderConfig:
                 f"tex_lut_max must be >= 4, got {self.tex_lut_max}")
         if self.clamp < 0.0:
             raise ValueError("clamp must be >= 0 (0 disables)")
+        if self.stop_delta < 0.0:
+            raise ValueError("stop_delta must be >= 0 (0 disables)")
         if self.sampler not in ("random", "stratified"):
             raise ValueError(
                 f"sampler must be 'random' or 'stratified', "
