@@ -128,6 +128,12 @@ def test_t2_elidable_mask():
     fuzz = np.array([0.0, 0.0, 0.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0])
 
     safe = _t2_elidable(centers, radii, mat, fuzz)
+
+    # An opaque negative-radius (inside-out) sphere keeps its far root.
+    neg = _t2_elidable(np.array([[0.0, 0.0, 0.0]]), np.array([-2.0]),
+                       np.array([0.0]), np.array([0.0]))
+    assert not neg[0]
+
     # Ground: tangent contacts only (1-8 are far apart or tangent).
     assert safe[0] and safe[1] and safe[2]
     assert not safe[3]          # fuzzy metal

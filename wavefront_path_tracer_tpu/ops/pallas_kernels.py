@@ -478,7 +478,11 @@ def _t2_elidable(centers, radii, mat_type, fuzz, triangles=None):
     mt = np.asarray(mat_type, np.float64)
     fz = np.asarray(fuzz, np.float64)
     n = c.shape[0]
-    safe = (mt != 2.0) & ~((mt == 1.0) & (fz > 0.0))
+    # Negative radius is the inside-out modeling trick (normals flip;
+    # RTIOW's hollow bubble): such spheres are legitimately hit from
+    # inside, so they keep the far root regardless of material.
+    safe = ((mt != 2.0) & ~((mt == 1.0) & (fz > 0.0))
+            & (np.asarray(radii, np.float64) > 0.0))
     eps8 = 8.0 * 1.1920929e-07
     for s in range(0, n, 256):
         e = min(n, s + 256)
