@@ -346,7 +346,7 @@ def main(argv=None) -> int:
 
         paths = write_aovs(args.aov, render_aovs(
             scene, cc, cfg, triangles=triangles,
-            spp=min(cfg.samples_per_pixel, 16)))
+            spp=min(cfg.samples_per_pixel, 16), frame=cfg.frame))
         if not args.quiet:
             print(f"wrote AOVs: {', '.join(paths)}", file=sys.stderr)
     if not args.quiet:
