@@ -17,6 +17,7 @@ import sys
 import time
 
 import numpy as np
+from PIL import Image  # fail before rendering, not after
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import wavefront_path_tracer_tpu.utils.compile_cache  # noqa: F401,E402
@@ -68,8 +69,6 @@ def main():
         frames.append(to_u8(r.image))
         print(f"frame {k + 1}/{args.frames}: {dt:.2f}s "
               f"({r.mrays_per_s:.0f} Mrays/s)", flush=True)
-
-    from PIL import Image
 
     ims = [Image.fromarray(f) for f in frames]
     ims[0].save(args.out, save_all=True, append_images=ims[1:],

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from wavefront_path_tracer_tpu.renderer import render
-from wavefront_path_tracer_tpu.scene.scene import book_cover
 
 from tests.test_engines import BASE, _cover_camera
 

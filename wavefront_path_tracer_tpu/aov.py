@@ -33,13 +33,17 @@ from wavefront_path_tracer_tpu.utils.config import RenderConfig
 
 
 def render_aovs(scene, camera, config: RenderConfig, triangles=None,
-                spp: int | None = None, frame: int = 0) -> dict:
+                spp: int | None = None, frame: int = 0,
+                scene_arrays: dict | None = None) -> dict:
     """First-hit AOV planes as (H, W, C) numpy arrays.
 
     Returns ``{"albedo": (H,W,3), "normal": (H,W,3), "depth": (H,W),
     "coverage": (H,W)}``.  ``spp`` defaults to
     ``config.samples_per_pixel`` (AA averaging only — AOVs are
-    first-hit quantities, so a handful of samples suffices).
+    first-hit quantities, so a handful of samples suffices).  Pass
+    ``scene_arrays`` (an existing ``prepare_scene`` result) to skip a
+    second device upload.  Pixels go through the engines' ray-chunk
+    loop so intersect intermediates stay bounded at any resolution.
     """
     cfg = config
     if cfg.intersector not in ("bruteforce", "bvh"):
@@ -47,21 +51,28 @@ def render_aovs(scene, camera, config: RenderConfig, triangles=None,
         # fused-engine concept.
         cfg = cfg.replace(intersector="bruteforce")
     spp = int(spp if spp is not None else cfg.samples_per_pixel)
-    arrays = prepare_scene(scene, cfg, triangles=triangles)
+    arrays = (scene_arrays if scene_arrays is not None
+              else prepare_scene(scene, cfg, triangles=triangles))
     view = jnp.asarray(camera.view_matrix())
     inv_proj = jnp.asarray(camera.inverse_projection(cfg.width, cfg.height))
     cam = camera.gpu_camera()
     num = cfg.num_pixels
+    # config.ray_chunk 0 means "one chunk"; AOVs cap it anyway so the
+    # intersect intermediates stay bounded at production resolutions.
+    chunk = cfg.ray_chunk if cfg.ray_chunk > 0 else 131072
+    chunk = min(num, chunk)
 
     @jax.jit
-    def one(sample, acc):
+    def one(pixel_idx, sample, acc):
         alb_a, nrm_a, dep_a, cov_a = acc
-        pixel_idx = jnp.arange(num, dtype=jnp.uint32)
         origin, direction = generate_rays(
             pixel_idx, cfg.width, cfg.height, jnp.uint32(frame), sample,
             cam, view, inv_proj, sampler=cfg.sampler)
         t, hit, normal, albedo, _fz, _ri, _mt = intersect_and_resolve(
             origin, direction, arrays, cfg)
+        # Chunk-padding lanes (pixel_idx >= num) count as misses; their
+        # rows are dropped on the host below.
+        hit = hit & (pixel_idx < jnp.uint32(num))
         h = hit[:, None]
         alb = jnp.where(h, albedo, sky_color(direction))
         nrm = jnp.where(h, normal, 0.0)
@@ -69,11 +80,20 @@ def render_aovs(scene, camera, config: RenderConfig, triangles=None,
         return (alb_a + alb, nrm_a + nrm, dep_a + dep,
                 cov_a + hit.astype(jnp.float32))
 
-    acc = (jnp.zeros((num, 3)), jnp.zeros((num, 3)), jnp.zeros((num,)),
-           jnp.zeros((num,)))
-    for s in range(spp):
-        acc = one(jnp.uint32(s), acc)
-    alb, nrm, dep, cov = (np.array(a) for a in acc)
+    parts = []
+    for start in range(0, num, chunk):
+        idx = start + np.arange(chunk, dtype=np.uint32)
+        pixel_idx = jnp.asarray(np.minimum(idx, num - 1))
+        valid = idx < num
+        pixel_idx = jnp.where(jnp.asarray(valid), pixel_idx,
+                              jnp.uint32(num))
+        acc = (jnp.zeros((chunk, 3)), jnp.zeros((chunk, 3)),
+               jnp.zeros((chunk,)), jnp.zeros((chunk,)))
+        for s in range(spp):
+            acc = one(pixel_idx, jnp.uint32(s), acc)
+        parts.append([np.array(a)[valid] for a in acc])
+    alb, nrm, dep, cov = (np.concatenate([p[i] for p in parts])
+                          for i in range(4))
 
     alb /= spp
     nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)

@@ -346,7 +346,8 @@ def main(argv=None) -> int:
 
         paths = write_aovs(args.aov, render_aovs(
             scene, cc, cfg, triangles=triangles,
-            spp=min(cfg.samples_per_pixel, 16), frame=cfg.frame))
+            spp=min(cfg.samples_per_pixel, 16), frame=cfg.frame,
+            scene_arrays=renderer.scene_arrays))
         if not args.quiet:
             print(f"wrote AOVs: {', '.join(paths)}", file=sys.stderr)
     if not args.quiet:

@@ -464,12 +464,23 @@ def _t2_elidable(centers, radii, mat_type, fuzz, triangles=None):
 
     Externally tangent contacts — RTIOW's spheres resting on the ground
     — have penetration exactly 0 and stay elidable: the far root is a
-    3-op/sphere saving on the issue-rate-bound sweep, with bake-time
-    proof that no reachable ray observes the difference.  The tolerance
+    3-op/sphere saving on the issue-rate-bound sweep.  The tolerance
     accepts penetrations below max(chord bound T_MIN^2/8r, a few f32
     ulps of the pair geometry) as modeling noise.  Camera/lens origins
     inside an *opaque* sphere are out of contract (the scene API places
     cameras in free space).
+
+    Known, accepted divergence: the generic select also takes t2 when
+    the origin is *outside* but the near root lands in (0, T_MIN] — a
+    ray fired from within T_MIN of the sphere's surface (the ~sqrt(2 r
+    T_MIN) tangency ring around a resting contact).  There the
+    reference tunnels to a far-side interior hit (its T_MIN acne guard
+    acting on a real hit); the elided kernel lets the ray pass.
+    Neither matches exact geometry; the affected scatter population is
+    measure ~1e-5 and the full-spec golden gate is indifferent (4.1e-4
+    pre-elision, 3.9e-4 post — within the sampling band).  So: elision is exact for the proven
+    origin-inside cases, and statistically invisible — but not
+    bit-exact — for the near-graze ring.
     """
     import numpy as np
 

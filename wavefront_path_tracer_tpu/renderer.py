@@ -269,10 +269,14 @@ class Renderer:
             # frame batch.  The display image is what the user sees, so
             # "it stopped visibly changing" is the stopping criterion;
             # the SPP budget stays the hard cap (beyond reference).
-            img = result.image
+            # Computed on device — only the scalar delta crosses the
+            # tunnel (the accumulator itself stays resident).
+            img = jnp.sqrt(jnp.clip(
+                self._accum / max(1, self.progress.accumulated_samples),
+                0.0, None))
             if self._prev_display is not None:
                 self.last_delta = float(
-                    np.abs(img - self._prev_display).mean())
+                    jnp.mean(jnp.abs(img - self._prev_display)))
                 if self.last_delta < cfg.stop_delta:
                     self._converged = True
             self._prev_display = img
