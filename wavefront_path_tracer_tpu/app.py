@@ -104,7 +104,7 @@ def repl(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    scene, triangles = build_scene(args)
+    scene, triangles, file_cam = build_scene(args)
     from wavefront_path_tracer_tpu.cli import resolve_intersector
 
     intersector, clusters, notes = resolve_intersector(
@@ -113,6 +113,10 @@ def repl(argv=None) -> int:
         print(n, file=sys.stderr)
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
+    if file_cam:
+        from wavefront_path_tracer_tpu.scene.file import apply_camera_dict
+
+        apply_camera_dict(cc, file_cam)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, samples_per_frame=args.spf,
                        max_bounces=args.max_bounces, engine=args.engine,

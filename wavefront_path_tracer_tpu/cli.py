@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default="book_one_final",
                    help="book_cover | book_one_final | procedural | "
                         "cornell_spheres | mesh_demo | mesh_terrain")
+    p.add_argument("--scene-file", default=None, metavar="JSON",
+                   help="render a user scene file (spheres + materials "
+                        "+ optional camera; see scene/file.py) instead "
+                        "of a named --scene; the file's camera block, "
+                        "if present, wins over the CLI camera flags")
     p.add_argument("--scene-seed", type=int, default=42)
     p.add_argument("--spheres", type=int, default=10000,
                    help="sphere count for --scene procedural")
@@ -169,11 +174,16 @@ def resolve_intersector(engine, intersector, clusters, scene, triangles):
 
 
 def build_scene(args):
-    """(scene, triangles | None) from parsed CLI args — shared with the
-    interactive REPL (app.py) so every documented --scene value works in
-    both entry points."""
+    """(scene, triangles | None, file_camera | None) from parsed CLI
+    args — shared with the interactive REPL (app.py) so every
+    documented --scene value works in both entry points."""
     from wavefront_path_tracer_tpu.scene.scene import get_scene
 
+    if getattr(args, "scene_file", None):
+        from wavefront_path_tracer_tpu.scene.file import load_scene_file
+
+        scene, cam = load_scene_file(args.scene_file)
+        return scene, None, cam
     if args.obj:
         from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
 
@@ -181,21 +191,21 @@ def build_scene(args):
         ground = b.lambertian([0.5, 0.5, 0.5])
         b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
         load_obj(args.obj, builder=b, scale=args.obj_scale)
-        return b.build_mesh_scene()
+        return b.build_mesh_scene() + (None,)
     if args.scene == "mesh_demo":
         from wavefront_path_tracer_tpu.scene.mesh import mesh_demo_scene
 
-        return mesh_demo_scene()
+        return mesh_demo_scene() + (None,)
     if args.scene == "mesh_terrain":
         from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
 
-        return mesh_terrain_scene(seed=args.scene_seed)
+        return mesh_terrain_scene(seed=args.scene_seed) + (None,)
     scene_kwargs = {}
     if args.scene == "book_one_final":
         scene_kwargs["seed"] = args.scene_seed
     elif args.scene == "procedural":
         scene_kwargs = {"n": args.spheres, "seed": args.scene_seed}
-    return get_scene(args.scene, **scene_kwargs), None
+    return get_scene(args.scene, **scene_kwargs), None, None
 
 
 def main(argv=None) -> int:
@@ -217,7 +227,7 @@ def main(argv=None) -> int:
     )
     from wavefront_path_tracer_tpu.utils.profiling import FramesPerSecond
 
-    scene, triangles = build_scene(args)
+    scene, triangles, file_cam = build_scene(args)
 
     if args.engine == "fused" and args.intersector == "bvh":
         print("error: --engine fused has no bvh intersector (per-lane "
@@ -235,6 +245,10 @@ def main(argv=None) -> int:
     cc.vfov_deg = args.vfov
     cc.defocus_angle_deg = args.defocus_angle
     cc.focus_distance = args.focus_distance
+    if file_cam:
+        from wavefront_path_tracer_tpu.scene.file import apply_camera_dict
+
+        apply_camera_dict(cc, file_cam)
 
     cfg = RenderConfig(
         width=args.width, height=args.height,

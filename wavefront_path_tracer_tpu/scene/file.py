@@ -1,0 +1,113 @@
+"""User scene files (JSON) — define scenes without writing Python.
+
+The reference hardcodes its two scenes in code (scene.rs:12-107); the
+builder API here covers programmatic use, and this module covers the
+"I just want to describe a scene" path:
+
+    {
+      "camera": {                     # optional; wins over CLI camera
+        "look_from": [13, 2, 3],
+        "look_at": [0, 0, 0],
+        "vfov": 20,
+        "defocus_angle": 0.6,
+        "focus_distance": 10
+      },
+      "spheres": [
+        {"center": [0, -1000, 0], "radius": 1000,
+         "material": {"type": "lambertian", "albedo": [0.5, 0.5, 0.5]}},
+        {"center": [0, 1, 0], "radius": 1.0,
+         "material": {"type": "dielectric", "ior": 1.5}},
+        {"center": [4, 1, 0], "radius": 1.0,
+         "material": {"type": "metal", "albedo": [0.7, 0.6, 0.5],
+                      "fuzz": 0.05}},
+        {"center": [-4, 1, 0], "radius": 1.0,
+         "material": {"type": "lambertian", "albedo": [0.4, 0.2, 0.1],
+                      "texture": {"checker": [0.9, 0.9, 0.9],
+                                  "scale": 6.0}}}
+      ]
+    }
+
+Material types and fields follow the reference's Material ctor
+semantics (material.rs:26-36): lambertian {albedo}, metal {albedo,
+fuzz (clamped to [0,1])}, dielectric {ior}.  The optional checker
+texture matches the builder's ("checker", color2, scale) spec.
+Negative radii are allowed (hollow-bubble normal flip).
+"""
+
+from __future__ import annotations
+
+import json
+
+from wavefront_path_tracer_tpu.scene.scene import Scene, SceneBuilder
+
+
+def load_scene_file(path: str):
+    """-> (Scene, camera_dict | None).  Raises ValueError with the
+    offending entry on malformed input."""
+    with open(path) as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict) or "spheres" not in doc:
+        raise ValueError(f"{path}: expected an object with a 'spheres' list")
+
+    b = SceneBuilder()
+    mat_cache: dict = {}
+
+    def material(spec, i):
+        if not isinstance(spec, dict) or "type" not in spec:
+            raise ValueError(f"{path}: sphere {i}: material must be an "
+                             "object with a 'type'")
+        key = json.dumps(spec, sort_keys=True)
+        if key in mat_cache:
+            return mat_cache[key]
+        kind = spec["type"]
+        texture = None
+        if "texture" in spec:
+            t = spec["texture"]
+            if not isinstance(t, dict) or "checker" not in t:
+                raise ValueError(f"{path}: sphere {i}: only checker "
+                                 "textures are supported in scene files")
+            texture = ("checker", t["checker"], float(t.get("scale", 6.0)))
+        if kind == "lambertian":
+            m = b.lambertian(spec["albedo"], texture=texture)
+        elif kind == "metal":
+            m = b.metal(spec["albedo"], float(spec.get("fuzz", 0.0)),
+                        texture=texture)
+        elif kind == "dielectric":
+            m = b.dielectric(float(spec.get("ior", 1.5)))
+        else:
+            raise ValueError(f"{path}: sphere {i}: unknown material type "
+                             f"{kind!r} (lambertian | metal | dielectric)")
+        mat_cache[key] = m
+        return m
+
+    for i, s in enumerate(doc["spheres"]):
+        try:
+            center = [float(v) for v in s["center"]]
+            radius = float(s["radius"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(f"{path}: sphere {i}: need 'center' [x,y,z] "
+                             f"and numeric 'radius' ({e})") from e
+        if len(center) != 3:
+            raise ValueError(f"{path}: sphere {i}: center must have 3 "
+                             "components")
+        b.sphere(center, radius, material(s.get("material"), i))
+
+    cam = doc.get("camera")
+    if cam is not None and not isinstance(cam, dict):
+        raise ValueError(f"{path}: camera must be an object")
+    return b.build(), cam
+
+
+def apply_camera_dict(cc, cam: dict):
+    """Apply a scene-file camera block onto a CameraController."""
+    if "look_from" in cam or "look_at" in cam:
+        look_from = cam.get("look_from", [13.0, 2.0, 3.0])
+        look_at = cam.get("look_at", [0.0, 0.0, 0.0])
+        cc.camera = cc.camera.look_at(look_from, look_at)
+    if "vfov" in cam:
+        cc.vfov_deg = float(cam["vfov"])
+    if "defocus_angle" in cam:
+        cc.defocus_angle_deg = float(cam["defocus_angle"])
+    if "focus_distance" in cam:
+        cc.focus_distance = float(cam["focus_distance"])
+    return cc
