@@ -76,3 +76,19 @@ def test_cli_scene_file(tmp_path):
     img = read_png(str(tmp_path / "out.png"))
     assert img.shape == (27, 48, 3)
     assert img.mean() > 10
+
+
+def test_scene_file_image_texture(tmp_path):
+    from wavefront_path_tracer_tpu.utils.image import write_png
+
+    tex = np.zeros((8, 16, 3), np.float32)
+    tex[:, :8] = [1.0, 0.0, 0.0]
+    tex[:, 8:] = [0.0, 0.0, 1.0]
+    write_png(str(tmp_path / "tex.png"), tex)
+    doc = {"spheres": [
+        {"center": [0, 0, 0], "radius": 1,
+         "material": {"type": "lambertian", "albedo": [1, 1, 1],
+                      "texture": {"image": "tex.png"}}}]}
+    scene, _ = load_scene_file(_write(tmp_path, doc))
+    assert scene.tex_kind[0] == 2
+    assert scene.tex_data.shape[1:] == (8, 16, 3)

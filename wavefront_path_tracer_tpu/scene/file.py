@@ -29,8 +29,9 @@ builder API here covers programmatic use, and this module covers the
 
 Material types and fields follow the reference's Material ctor
 semantics (material.rs:26-36): lambertian {albedo}, metal {albedo,
-fuzz (clamped to [0,1])}, dielectric {ior}.  The optional checker
-texture matches the builder's ("checker", color2, scale) spec.
+fuzz (clamped to [0,1])}, dielectric {ior}.  Textures: checker
+({"checker": [r,g,b], "scale": s}) or image ({"image": "file.png"},
+path relative to the scene file; 8-bit RGB PNG, equirect UV).
 Negative radii are allowed (hollow-bubble normal flip).
 """
 
@@ -63,10 +64,27 @@ def load_scene_file(path: str):
         texture = None
         if "texture" in spec:
             t = spec["texture"]
-            if not isinstance(t, dict) or "checker" not in t:
-                raise ValueError(f"{path}: sphere {i}: only checker "
-                                 "textures are supported in scene files")
-            texture = ("checker", t["checker"], float(t.get("scale", 6.0)))
+            if isinstance(t, dict) and "checker" in t:
+                texture = ("checker", t["checker"],
+                           float(t.get("scale", 6.0)))
+            elif isinstance(t, dict) and "image" in t:
+                # Image textures: an 8-bit RGB PNG next to the scene
+                # file (or an absolute path), mapped with the RTIOW
+                # equirect UV (ops/texture.py:sphere_uv).
+                import os
+
+                from wavefront_path_tracer_tpu.utils.image import read_png
+
+                img_path = t["image"]
+                if not os.path.isabs(img_path):
+                    img_path = os.path.join(os.path.dirname(path),
+                                            img_path)
+                texture = read_png(img_path).astype("float32") / 255.0
+            else:
+                raise ValueError(
+                    f"{path}: sphere {i}: texture must be "
+                    "{'checker': [r,g,b], 'scale': s} or "
+                    "{'image': 'file.png'}")
         if kind == "lambertian":
             m = b.lambertian(spec["albedo"], texture=texture)
         elif kind == "metal":
