@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import json
 
-from wavefront_path_tracer_tpu.scene.scene import Scene, SceneBuilder
+from wavefront_path_tracer_tpu.scene.scene import SceneBuilder
 
 
 def load_scene_file(path: str):
