@@ -154,3 +154,15 @@ def test_sharded_fused_dynamic_culled():
     rad = _sharded(scene, cc, cfg, mesh)
     d = np.abs(rad - single.accumulated.reshape(-1, 3)).max(axis=-1)
     assert (d > 1e-3).mean() < 0.01
+
+
+def test_sharded_respects_clamp(book_cover_scene):
+    """Config knobs (here the firefly clamp) flow through the sharded
+    path identically to single-device rendering."""
+    cfg = CFG.replace(clamp=0.2)
+    mesh = make_mesh(8, sample_axis=1)   # pure tile DP: bit-identical
+    sharded = _sharded(book_cover_scene, _camera(), cfg, mesh)
+    single = render(book_cover_scene, _camera(), cfg)
+    np.testing.assert_array_equal(
+        sharded, single.accumulated.reshape(-1, 3))
+    assert (sharded <= cfg.samples_per_pixel * 0.2 + 1e-5).all()
