@@ -38,7 +38,8 @@ def _write(tmp_path, doc):
 
 
 def test_load_scene_file(tmp_path):
-    scene, cam = load_scene_file(_write(tmp_path, DOC))
+    scene, tris, cam = load_scene_file(_write(tmp_path, DOC))
+    assert tris is None
     assert scene.centers.shape == (5, 3)
     np.testing.assert_allclose(scene.radii,
                                [100, 0.5, 0.5, 0.5, -0.4])
@@ -89,6 +90,18 @@ def test_scene_file_image_texture(tmp_path):
         {"center": [0, 0, 0], "radius": 1,
          "material": {"type": "lambertian", "albedo": [1, 1, 1],
                       "texture": {"image": "tex.png"}}}]}
-    scene, _ = load_scene_file(_write(tmp_path, doc))
+    scene, _tris, _ = load_scene_file(_write(tmp_path, doc))
     assert scene.tex_kind[0] == 2
     assert scene.tex_data.shape[1:] == (8, 16, 3)
+
+
+def test_scene_file_with_obj(tmp_path):
+    (tmp_path / "tri.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    doc = {"spheres": [
+        {"center": [0, -1000, 0], "radius": 1000,
+         "material": {"type": "lambertian", "albedo": [0.5, 0.5, 0.5]}}],
+        "objs": [{"path": "tri.obj", "scale": 2.0}]}
+    scene, tris, _ = load_scene_file(_write(tmp_path, doc))
+    assert tris is not None and tris.num_triangles == 1
+    np.testing.assert_allclose(tris.e1[0], [2.0, 0.0, 0.0])

@@ -182,8 +182,7 @@ def build_scene(args):
     if getattr(args, "scene_file", None):
         from wavefront_path_tracer_tpu.scene.file import load_scene_file
 
-        scene, cam = load_scene_file(args.scene_file)
-        return scene, None, cam
+        return load_scene_file(args.scene_file)
     if args.obj:
         from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
 

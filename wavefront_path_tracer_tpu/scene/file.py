@@ -39,18 +39,26 @@ from __future__ import annotations
 
 import json
 
-from wavefront_path_tracer_tpu.scene.scene import SceneBuilder
+from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder, load_obj
 
 
 def load_scene_file(path: str):
-    """-> (Scene, camera_dict | None).  Raises ValueError with the
-    offending entry on malformed input."""
+    """-> (Scene, TriangleSoA | None, camera_dict | None).
+    Raises ValueError with the offending entry on malformed input.
+
+    Optional top-level ``"objs"``: a list of
+    ``{"path": "mesh.obj", "scale": s, "translate": [x,y,z]}`` entries
+    (paths relative to the scene file; materials from the OBJ's MTL
+    when present, mapped as in scene/mesh.py:load_obj).
+    """
     with open(path) as f:
         doc = json.load(f)
-    if not isinstance(doc, dict) or "spheres" not in doc:
-        raise ValueError(f"{path}: expected an object with a 'spheres' list")
+    if not isinstance(doc, dict) or ("spheres" not in doc
+                                     and "objs" not in doc):
+        raise ValueError(f"{path}: expected an object with a 'spheres' "
+                         "and/or 'objs' list")
 
-    b = SceneBuilder()
+    b = MeshSceneBuilder()
     mat_cache: dict = {}
 
     def material(spec, i):
@@ -98,7 +106,7 @@ def load_scene_file(path: str):
         mat_cache[key] = m
         return m
 
-    for i, s in enumerate(doc["spheres"]):
+    for i, s in enumerate(doc.get("spheres", ())):
         try:
             center = [float(v) for v in s["center"]]
             radius = float(s["radius"])
@@ -110,10 +118,24 @@ def load_scene_file(path: str):
                              "components")
         b.sphere(center, radius, material(s.get("material"), i))
 
+    import os
+
+    for i, o in enumerate(doc.get("objs", ())):
+        if not isinstance(o, dict) or "path" not in o:
+            raise ValueError(f"{path}: objs[{i}] must be an object with "
+                             "a 'path'")
+        obj_path = o["path"]
+        if not os.path.isabs(obj_path):
+            obj_path = os.path.join(os.path.dirname(path), obj_path)
+        load_obj(obj_path, builder=b, scale=float(o.get("scale", 1.0)),
+                 translate=tuple(o.get("translate", (0.0, 0.0, 0.0))))
+
     cam = doc.get("camera")
     if cam is not None and not isinstance(cam, dict):
         raise ValueError(f"{path}: camera must be an object")
-    return b.build(), cam
+    if b._tris:
+        return b.build_mesh_scene() + (cam,)
+    return b.build(), None, cam
 
 
 def apply_camera_dict(cc, cam: dict):
