@@ -16,7 +16,6 @@ import os
 import sys
 import time
 
-import numpy as np
 from PIL import Image  # fail before rendering, not after
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

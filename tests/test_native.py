@@ -5,7 +5,7 @@ import time
 import numpy as np
 import pytest
 
-from wavefront_path_tracer_tpu.scene import book_cover, book_one_final, procedural_spheres
+from wavefront_path_tracer_tpu.scene import book_cover, procedural_spheres
 from wavefront_path_tracer_tpu.scene.bvh import build_flat_bvh
 
 bvh_native = pytest.importorskip(

@@ -91,8 +91,7 @@ def test_indivisible_pixels_rejected(book_cover_scene):
 
 def test_fused_engine_shards(book_cover_scene):
     """The flagship Pallas engine under shard_map (pixel + sample DP)."""
-    from wavefront_path_tracer_tpu.utils.image import rmse
-
+    
     cc = _camera()
     cfg = CFG.replace(engine="fused")
     single = render(book_cover_scene, cc, cfg)

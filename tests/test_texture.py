@@ -1,7 +1,6 @@
 """Textures: checker + image UV lookup, across engines."""
 
 import numpy as np
-import pytest
 
 from wavefront_path_tracer_tpu.renderer import render
 from wavefront_path_tracer_tpu.scene.scene import SceneBuilder, get_scene

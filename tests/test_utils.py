@@ -1,6 +1,5 @@
 """Utilities: image IO, checkpointing, profiling, CLI plumbing."""
 
-import os
 
 import numpy as np
 import pytest

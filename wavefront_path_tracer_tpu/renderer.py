@@ -17,7 +17,6 @@ import dataclasses
 import time
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
