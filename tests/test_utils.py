@@ -127,3 +127,22 @@ def test_checkpoint_meta_roundtrip(tmp_path):
     assert s == 7 and f == 2
     with pytest.raises(ValueError):
         load_checkpoint(path, expect_meta={"width": 8})
+
+
+def test_tonemap_variants():
+    from wavefront_path_tracer_tpu.utils.image import display_transform
+
+    acc = np.array([[[0.0, 1.0, 4.0]]], np.float32) * 2  # 2 samples
+    g = display_transform(acc, 2)
+    rh = display_transform(acc, 2, tonemap="reinhard")
+    ac = display_transform(acc, 2, tonemap="aces")
+    np.testing.assert_allclose(g[0, 0], [0.0, 1.0, 2.0])
+    # Tone maps compress into [0, 1] and keep black at black.
+    for t in (rh, ac):
+        assert t[0, 0, 0] == 0.0
+        assert (t <= 1.0 + 1e-6).all()
+        assert t[0, 0, 1] < 1.0 and t[0, 0, 2] <= 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        display_transform(acc, 2, tonemap="filmic")

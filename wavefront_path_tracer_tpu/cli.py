@@ -96,7 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--vfov", type=float, default=20.0)
     p.add_argument("--defocus-angle", type=float, default=0.6)
-    p.add_argument("--focus-distance", type=float, default=10.0)
+    p.add_argument("--focus-distance", default="10.0",
+                   help="thin-lens focus distance, or 'auto' to focus "
+                        "at the --look-at point")
+    p.add_argument("--tonemap", default="gamma2",
+                   choices=("gamma2", "reinhard", "aces"),
+                   help="display transform: gamma2 (reference "
+                        "display_shader.wgsl semantics), or "
+                        "reinhard/aces HDR tone maps (+gamma2 encode)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="per-sample radiance clamp (firefly "
@@ -243,7 +250,12 @@ def main(argv=None) -> int:
     cc.camera = cc.camera.look_at(args.look_from, args.look_at)
     cc.vfov_deg = args.vfov
     cc.defocus_angle_deg = args.defocus_angle
-    cc.focus_distance = args.focus_distance
+    if str(args.focus_distance).lower() == "auto":
+        cc.focus_distance = float(np.linalg.norm(
+            np.asarray(args.look_at, np.float64)
+            - np.asarray(args.look_from, np.float64)))
+    else:
+        cc.focus_distance = float(args.focus_distance)
     if file_cam:
         from wavefront_path_tracer_tpu.scene.file import apply_camera_dict
 
@@ -316,7 +328,11 @@ def main(argv=None) -> int:
         stats.seconds += r.wall_time_s
         stats.samples = r.samples
         if args.preview:
-            write_png(args.preview, r.image)
+            from wavefront_path_tracer_tpu.utils.image import (
+                display_transform as _dt)
+
+            write_png(args.preview, _dt(r.accumulated, r.samples,
+                                        args.tonemap))
         if args.preview_term:
             from wavefront_path_tracer_tpu.utils.preview import term_preview_frame
 
@@ -353,7 +369,10 @@ def main(argv=None) -> int:
     if result is None:
         print("nothing to render (SPP budget already met)", file=sys.stderr)
         return 1
-    write_png(args.out, result.image)
+    from wavefront_path_tracer_tpu.utils.image import display_transform
+
+    write_png(args.out, display_transform(result.accumulated,
+                                          result.samples, args.tonemap))
     if args.aov:
         from wavefront_path_tracer_tpu.aov import render_aovs, write_aovs
 

@@ -14,10 +14,27 @@ import zlib
 import numpy as np
 
 
-def display_transform(accumulated: np.ndarray, samples: int) -> np.ndarray:
-    """Average + gamma-2.0 (reference display_shader.wgsl:50-53)."""
+def display_transform(accumulated: np.ndarray, samples: int,
+                      tonemap: str = "gamma2") -> np.ndarray:
+    """Average + tone map.
+
+    ``gamma2`` is the reference's display pass
+    (display_shader.wgsl:50-53: sqrt of the mean).  ``reinhard``
+    (x/(1+x)) and ``aces`` (Narkowicz's RTT+ODT fit) are
+    beyond-reference options for HDR-ish scenes — both are followed by
+    the same gamma-2 encode so mid-gray placement stays comparable.
+    """
     avg = np.asarray(accumulated, np.float32) / max(1, samples)
-    return np.sqrt(np.clip(avg, 0.0, None))
+    avg = np.clip(avg, 0.0, None)
+    if tonemap == "reinhard":
+        avg = avg / (1.0 + avg)
+    elif tonemap == "aces":
+        avg = np.clip((avg * (2.51 * avg + 0.03))
+                      / (avg * (2.43 * avg + 0.59) + 0.14), 0.0, 1.0)
+    elif tonemap != "gamma2":
+        raise ValueError(f"unknown tonemap {tonemap!r} "
+                         "(gamma2 | reinhard | aces)")
+    return np.sqrt(avg)
 
 
 def to_u8(image: np.ndarray) -> np.ndarray:
