@@ -13,6 +13,11 @@ round-2 fused-kernel architecture.  Variants:
       11 attribute selects (A's structure, no baking)
   C3  ray-major dynamic: block load + t/idx carries + block one-hot pass
   D   raw matmul: f32 (128,8)x(8,S2) small-K and (16,S)x(S,128) onehot-shape
+  C7  sphere-major with FULL 10-attr select carries (production shape)
+  C8  row-gated sphere-major: pl.when per (cluster, row) + one-hot decode
+  C9  row-gated worklist: fori + scalar-while over SMEM row masks,
+      dynamic-base loads (branchless C8)
+  W8  tile-gated ray-major baked baseline for C8/C9 (production shape)
 
 Usage: python exp/micro_r2.py [A B C ...]
 """
