@@ -91,7 +91,6 @@ def test_indivisible_pixels_rejected(book_cover_scene):
 
 def test_fused_engine_shards(book_cover_scene):
     """The flagship Pallas engine under shard_map (pixel + sample DP)."""
-    
     cc = _camera()
     cfg = CFG.replace(engine="fused")
     single = render(book_cover_scene, cc, cfg)

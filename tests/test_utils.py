@@ -142,7 +142,36 @@ def test_tonemap_variants():
         assert t[0, 0, 0] == 0.0
         assert (t <= 1.0 + 1e-6).all()
         assert t[0, 0, 1] < 1.0 and t[0, 0, 2] <= 1.0
-    import pytest
-
     with pytest.raises(ValueError):
         display_transform(acc, 2, tonemap="filmic")
+
+
+def test_read_png_real_world_filters(tmp_path):
+    """read_png must decode PNGs from real encoders (Pillow emits
+    Sub/Up/Average/Paeth row filters), RGB and RGBA."""
+    from PIL import Image
+
+    from wavefront_path_tracer_tpu.utils.image import read_png
+
+    rs = np.random.RandomState(0)
+    # A gradient + noise image reliably triggers mixed row filters.
+    g = np.linspace(0, 255, 64, dtype=np.uint8)
+    img = (g[None, :, None] + rs.randint(0, 40, (48, 64, 3))).clip(
+        0, 255).astype(np.uint8)
+    for mode in ("RGB", "RGBA"):
+        arr = img if mode == "RGB" else np.concatenate(
+            [img, np.full((48, 64, 1), 255, np.uint8)], axis=-1)
+        p = tmp_path / f"t_{mode}.png"
+        Image.fromarray(arr, mode).save(p, optimize=True)
+        got = read_png(str(p))
+        np.testing.assert_array_equal(got, img)
+
+    # Unsupported formats raise a clear ValueError.
+    import pytest
+
+    (tmp_path / "g.png").write_bytes(b"not a png")
+    with pytest.raises(ValueError, match="not a PNG"):
+        read_png(str(tmp_path / "g.png"))
+    Image.fromarray(img[..., 0], "L").save(tmp_path / "gray.png")
+    with pytest.raises(ValueError, match="RGB/RGBA"):
+        read_png(str(tmp_path / "gray.png"))

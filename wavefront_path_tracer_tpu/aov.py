@@ -83,10 +83,11 @@ def render_aovs(scene, camera, config: RenderConfig, triangles=None,
     parts = []
     for start in range(0, num, chunk):
         idx = start + np.arange(chunk, dtype=np.uint32)
-        pixel_idx = jnp.asarray(np.minimum(idx, num - 1))
         valid = idx < num
-        pixel_idx = jnp.where(jnp.asarray(valid), pixel_idx,
-                              jnp.uint32(num))
+        # Padding lanes get the sentinel index `num` (counted as
+        # misses in the kernel) and are dropped below.
+        pixel_idx = jnp.asarray(np.where(valid, idx,
+                                         num).astype(np.uint32))
         acc = (jnp.zeros((chunk, 3)), jnp.zeros((chunk, 3)),
                jnp.zeros((chunk,)), jnp.zeros((chunk,)))
         for s in range(spp):

@@ -246,20 +246,25 @@ def main(argv=None) -> int:
         for n in notes:
             print(n, file=sys.stderr)
 
+    # Per-field camera merge: a scene-file camera block wins for the
+    # fields it specifies; everything else keeps the CLI value.  The
+    # merge happens BEFORE autofocus so 'auto' focuses at the
+    # effective look point.
+    file_cam = file_cam or {}
+    look_from = file_cam.get("look_from", args.look_from)
+    look_at = file_cam.get("look_at", args.look_at)
+    focus = file_cam.get("focus_distance", args.focus_distance)
     cc = CameraController.book_one_final()
-    cc.camera = cc.camera.look_at(args.look_from, args.look_at)
-    cc.vfov_deg = args.vfov
-    cc.defocus_angle_deg = args.defocus_angle
-    if str(args.focus_distance).lower() == "auto":
+    cc.camera = cc.camera.look_at(look_from, look_at)
+    cc.vfov_deg = float(file_cam.get("vfov", args.vfov))
+    cc.defocus_angle_deg = float(file_cam.get("defocus_angle",
+                                              args.defocus_angle))
+    if str(focus).lower() == "auto":
         cc.focus_distance = float(np.linalg.norm(
-            np.asarray(args.look_at, np.float64)
-            - np.asarray(args.look_from, np.float64)))
+            np.asarray(look_at, np.float64)
+            - np.asarray(look_from, np.float64)))
     else:
-        cc.focus_distance = float(args.focus_distance)
-    if file_cam:
-        from wavefront_path_tracer_tpu.scene.file import apply_camera_dict
-
-        apply_camera_dict(cc, file_cam)
+        cc.focus_distance = float(focus)
 
     cfg = RenderConfig(
         width=args.width, height=args.height,
@@ -285,8 +290,14 @@ def main(argv=None) -> int:
 
     renderer = Renderer(scene, cc, cfg, triangles=triangles,
                         stage_timer=stage_timer)
+    import os
+
     ckpt_meta = {
-        "width": cfg.width, "height": cfg.height, "scene": args.scene,
+        "width": cfg.width, "height": cfg.height,
+        # A scene file identifies by absolute path so --resume cannot
+        # silently blend checkpoints from a different user scene.
+        "scene": (f"file:{os.path.abspath(args.scene_file)}"
+                  if args.scene_file else args.scene),
         "engine": cfg.engine, "frame": cfg.frame,
     }
     if args.resume:
@@ -336,9 +347,12 @@ def main(argv=None) -> int:
         if args.preview_term:
             from wavefront_path_tracer_tpu.utils.preview import term_preview_frame
 
+            from wavefront_path_tracer_tpu.utils.image import (
+                display_transform as _dt2)
+
             pct = 100.0 * renderer.progress.progress(cfg.samples_per_pixel)
             term_preview_frame(
-                r.image,
+                _dt2(r.accumulated, r.samples, args.tonemap),
                 f"[{pct:5.1f}%] {r.samples}/{cfg.samples_per_pixel} spp  "
                 f"{r.mrays_per_s:.1f} Mrays/s")
         if args.checkpoint:

@@ -60,6 +60,7 @@ def load_scene_file(path: str):
 
     b = MeshSceneBuilder()
     mat_cache: dict = {}
+    img_cache: dict = {}
 
     def material(spec, i):
         if not isinstance(spec, dict) or "type" not in spec:
@@ -87,18 +88,27 @@ def load_scene_file(path: str):
                 if not os.path.isabs(img_path):
                     img_path = os.path.join(os.path.dirname(path),
                                             img_path)
-                texture = read_png(img_path).astype("float32") / 255.0
+                if img_path not in img_cache:
+                    img_cache[img_path] = \
+                        read_png(img_path).astype("float32") / 255.0
+                texture = img_cache[img_path]
             else:
                 raise ValueError(
                     f"{path}: sphere {i}: texture must be "
                     "{'checker': [r,g,b], 'scale': s} or "
                     "{'image': 'file.png'}")
+        if kind in ("lambertian", "metal") and "albedo" not in spec:
+            raise ValueError(f"{path}: sphere {i}: {kind} material "
+                             "needs an 'albedo' [r,g,b]")
         if kind == "lambertian":
             m = b.lambertian(spec["albedo"], texture=texture)
         elif kind == "metal":
             m = b.metal(spec["albedo"], float(spec.get("fuzz", 0.0)),
                         texture=texture)
         elif kind == "dielectric":
+            if texture is not None:
+                raise ValueError(f"{path}: sphere {i}: dielectric "
+                                 "materials take no texture")
             m = b.dielectric(float(spec.get("ior", 1.5)))
         else:
             raise ValueError(f"{path}: sphere {i}: unknown material type "
@@ -139,10 +149,23 @@ def load_scene_file(path: str):
 
 
 def apply_camera_dict(cc, cam: dict):
-    """Apply a scene-file camera block onto a CameraController."""
+    """Apply a scene-file camera block onto a CameraController.
+
+    Partial blocks keep the controller's CURRENT state for unspecified
+    fields: a missing look_from falls back to the current camera
+    position, a missing look_at to a point along the current forward
+    direction (so orientation is preserved).
+    """
     if "look_from" in cam or "look_at" in cam:
-        look_from = cam.get("look_from", [13.0, 2.0, 3.0])
-        look_at = cam.get("look_at", [0.0, 0.0, 0.0])
+        import math
+
+        pos = list(cc.camera.position)
+        sp, cp = math.sin(cc.camera.pitch), math.cos(cc.camera.pitch)
+        sy, cy = math.sin(cc.camera.yaw), math.cos(cc.camera.yaw)
+        fwd = [sp * sy, cp, sp * cy]
+        look_from = cam.get("look_from", pos)
+        look_at = cam.get("look_at",
+                          [p + f for p, f in zip(look_from, fwd)])
         cc.camera = cc.camera.look_at(look_from, look_at)
     if "vfov" in cam:
         cc.vfov_deg = float(cam["vfov"])

@@ -66,27 +66,69 @@ def write_png(path: str, image: np.ndarray) -> None:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Minimal reader for PNGs produced by write_png (8-bit RGB)."""
+    """8-bit RGB/RGBA PNG reader (alpha dropped), all five row filters.
+
+    Real-world encoders (Pillow, GIMP) emit Sub/Up/Average/Paeth row
+    filters, and scene files may reference such images — so this is a
+    small but complete baseline-PNG decoder for non-interlaced 8-bit
+    truecolor.  Other color types / bit depths raise ValueError.
+    """
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n"
-    pos, idat, w, h = 8, b"", 0, 0
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
+    pos, idat, w, h, channels = 8, b"", 0, 0, 0
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h = struct.unpack(">II", body[:8])
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+            if depth != 8 or color not in (2, 6) or interlace:
+                raise ValueError(
+                    f"{path}: only non-interlaced 8-bit RGB/RGBA PNGs "
+                    f"are supported (depth={depth}, color type={color})")
+            channels = 3 if color == 2 else 4
         elif tag == b"IDAT":
             idat += body
         pos += 12 + length
     raw = zlib.decompress(idat)
-    stride = w * 3 + 1
-    rows = [
-        np.frombuffer(raw[r * stride + 1 : (r + 1) * stride], np.uint8)
-        for r in range(h)
-    ]
-    return np.stack(rows).reshape(h, w, 3)
+    bpp = channels
+    stride = w * bpp + 1
+    if len(raw) < h * stride:
+        raise ValueError(f"{path}: truncated image data")
+    out = np.zeros((h, w * bpp), np.uint8)
+    prev = np.zeros(w * bpp, np.uint8)
+    for r in range(h):
+        ftype = raw[r * stride]
+        cur = np.frombuffer(raw[r * stride + 1 : (r + 1) * stride],
+                            np.uint8).astype(np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:                     # Up
+            line = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
+            line = np.zeros(w * bpp, np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(w * bpp):
+                a = line[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = pv[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"{path}: unknown PNG filter {ftype}")
+        prev = line.astype(np.uint8)
+        out[r] = prev
+    return out.reshape(h, w, bpp)[..., :3]
 
 
 def rmse(a: np.ndarray, b: np.ndarray) -> float:
