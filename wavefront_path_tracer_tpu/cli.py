@@ -106,8 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reinhard/aces HDR tone maps (+gamma2 encode)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--clamp", type=float, default=0.0,
-                   help="per-sample radiance clamp (firefly "
-                        "suppression; biased; 0 = off)")
+                   help="per-sample radiance clamp (0 = off).  In the "
+                        "RTIOW model per-sample radiance is <= 1 by "
+                        "construction (albedo <= 1, sky <= 1, roulette "
+                        "weights bounded), so >= 1 is provably a no-op "
+                        "(measured: exp/clamp_bias.py); < 1 trades "
+                        "darkening bias for variance")
     p.add_argument("--until-delta", type=float, default=0.0,
                    metavar="D",
                    help="stop early once the display image changes by "

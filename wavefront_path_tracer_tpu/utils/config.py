@@ -103,8 +103,12 @@ class RenderConfig:
     # unbiased, lower pixel variance at low spp).  All engines share
     # the formula, so cross-engine bit-identity is preserved.
     sampler: str = "random"
-    # Per-sample componentwise radiance clamp (firefly suppression;
-    # biased, standard production control).  0 disables.
+    # Per-sample componentwise radiance clamp (standard production
+    # control).  0 disables.  NOTE: this renderer's per-sample radiance
+    # is <= 1 by construction (multiplicative albedo <= 1, sky <= 1,
+    # roulette weight division bounded by max-throughput survival), so
+    # values >= 1 are provably inert (exp/clamp_bias.py measures 0
+    # bias); < 1 darkens highlights in exchange for variance.
     clamp: float = 0.0
     # Adaptive stop: end the progressive loop when the mean absolute
     # display-image change per frame batch falls below this (the SPP
