@@ -123,3 +123,22 @@ def test_cli_aov(tmp_path):
     assert d["depth"].shape == (18, 32)
     assert 0.0 < d["coverage"].mean() <= 1.0
     assert (d["depth"][d["coverage"] > 0] > 0).all()
+
+
+def test_cli_scene_default_camera(tmp_path):
+    """Interior scenes get a sensible default view when no camera flags
+    are passed (cornell from the book camera is a wall)."""
+    from wavefront_path_tracer_tpu.cli import build_parser
+    from wavefront_path_tracer_tpu.scene.scene import SCENE_CAMERAS
+
+    argv = ["--scene", "cornell_spheres", "--width", "32", "--height",
+            "18", "--spp", "2", "--spf", "2", "--max-bounces", "8",
+            "--engine", "megakernel", "--quiet",
+            "--out", str(tmp_path / "c.png")]
+    assert main(argv) == 0
+    img = read_png(str(tmp_path / "c.png"))
+    # From the default interior view some rays see bright sky over the
+    # open box; the old book-camera view is buried in a dark wall.
+    assert img.max() > 150
+    assert SCENE_CAMERAS["cornell_spheres"]["vfov"] == 36.0
+    assert build_parser().get_default("vfov") is None

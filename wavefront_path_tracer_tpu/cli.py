@@ -91,11 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="roulette survival floor: continue probability "
                         "is clip(max(throughput), P, 1); higher = fewer "
                         "fireflies, more rays (default 0.05)")
-    # Camera (defaults = reference main.rs:23-32 book-one-final camera).
-    p.add_argument("--look-from", type=float, nargs=3, default=[13.0, 2.0, 3.0])
-    p.add_argument("--look-at", type=float, nargs=3, default=[0.0, 0.0, 0.0])
-    p.add_argument("--vfov", type=float, default=20.0)
-    p.add_argument("--defocus-angle", type=float, default=0.6)
+    # Camera.  Unset flags fall back per-field to: scene-file camera
+    # block -> the named scene's default view (scene.SCENE_CAMERAS) ->
+    # the reference camera (main.rs:23-32).
+    p.add_argument("--look-from", type=float, nargs=3, default=None)
+    p.add_argument("--look-at", type=float, nargs=3, default=None)
+    p.add_argument("--vfov", type=float, default=None)
+    p.add_argument("--defocus-angle", type=float, default=None)
     p.add_argument("--focus-distance", default="10.0",
                    help="thin-lens focus distance, or 'auto' to focus "
                         "at the --look-at point")
@@ -250,19 +252,33 @@ def main(argv=None) -> int:
         for n in notes:
             print(n, file=sys.stderr)
 
-    # Per-field camera merge: a scene-file camera block wins for the
-    # fields it specifies; everything else keeps the CLI value.  The
-    # merge happens BEFORE autofocus so 'auto' focuses at the
+    # Per-field camera resolution: explicit CLI flag > scene-file
+    # camera block > the named scene's default view > the reference
+    # camera.  Resolved BEFORE autofocus so 'auto' focuses at the
     # effective look point.
+    from wavefront_path_tracer_tpu.scene.scene import SCENE_CAMERAS
+
+    scene_cam = {} if args.scene_file else SCENE_CAMERAS.get(args.scene, {})
     file_cam = file_cam or {}
-    look_from = file_cam.get("look_from", args.look_from)
-    look_at = file_cam.get("look_at", args.look_at)
+    ref_cam = {"look_from": [13.0, 2.0, 3.0], "look_at": [0.0, 0.0, 0.0],
+               "vfov": 20.0, "defocus_angle": 0.6}
+
+    def cam_field(name, cli_value):
+        if cli_value is not None:
+            return cli_value
+        for layer in (file_cam, scene_cam, ref_cam):
+            if name in layer:
+                return layer[name]
+        return None
+
+    look_from = cam_field("look_from", args.look_from)
+    look_at = cam_field("look_at", args.look_at)
     focus = file_cam.get("focus_distance", args.focus_distance)
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(look_from, look_at)
-    cc.vfov_deg = float(file_cam.get("vfov", args.vfov))
-    cc.defocus_angle_deg = float(file_cam.get("defocus_angle",
-                                              args.defocus_angle))
+    cc.vfov_deg = float(cam_field("vfov", args.vfov))
+    cc.defocus_angle_deg = float(cam_field("defocus_angle",
+                                           args.defocus_angle))
     if str(focus).lower() == "auto":
         cc.focus_distance = float(np.linalg.norm(
             np.asarray(look_at, np.float64)

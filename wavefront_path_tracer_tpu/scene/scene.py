@@ -350,3 +350,20 @@ def get_scene(name: str, **kw) -> Scene:
     if name not in _SCENES:
         raise KeyError(f"unknown scene {name!r}; have {sorted(_SCENES)}")
     return _SCENES[name](**kw)
+
+
+# Sensible default viewpoints per named scene, used by the CLI/REPL
+# when the user passes no camera flags (the reference hardcodes ONE
+# camera for its one scene, main.rs:23-32; interior scenes like
+# cornell_spheres are unviewable from it).
+SCENE_CAMERAS = {
+    "book_cover": {"look_from": [-2.0, 2.0, 1.0],
+                   "look_at": [0.0, 0.0, -1.0],
+                   "vfov": 35.0, "defocus_angle": 0.0},
+    "cornell_spheres": {"look_from": [0.0, 2.5, 9.5],
+                        "look_at": [0.0, 1.7, 0.0],
+                        "vfov": 36.0, "defocus_angle": 0.0},
+    "mesh_terrain": {"look_from": [14.0, 6.0, 14.0],
+                     "look_at": [0.0, 0.5, 0.0],
+                     "vfov": 30.0, "defocus_angle": 0.0},
+}
