@@ -99,10 +99,14 @@ def test_cli_parser_defaults_match_reference():
 
     args = build_parser().parse_args([])
     # Reference defaults: SPP=10, SPF=1 (parameters.rs:4-5), 50 bounces
-    # (path_tracer.rs:323), book-one camera (main.rs:23-32).
+    # (path_tracer.rs:323).  Camera flags now default to None — the CLI
+    # resolves per-field to scene-file camera > scene default view >
+    # the reference camera (main.rs:23-32), so the book-one default
+    # still lands on (13,2,3)/vfov 20/defocus 0.6 (the fallback dict in
+    # cli.py:main); unset flags are what lets interior scenes get their
+    # own views.
     assert args.spp == 10 and args.spf == 1 and args.max_bounces == 50
-    assert args.look_from == [13.0, 2.0, 3.0]
-    assert args.vfov == 20.0 and args.defocus_angle == 0.6
+    assert args.look_from is None and args.vfov is None
 
 
 def test_ansi_preview_shape():
