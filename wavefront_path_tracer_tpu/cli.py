@@ -98,9 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--look-at", type=float, nargs=3, default=None)
     p.add_argument("--vfov", type=float, default=None)
     p.add_argument("--defocus-angle", type=float, default=None)
-    p.add_argument("--focus-distance", default="10.0",
+    p.add_argument("--focus-distance", default=None,
                    help="thin-lens focus distance, or 'auto' to focus "
-                        "at the --look-at point")
+                        "at the effective look-at point (default 10, "
+                        "the reference's; same fallback chain as the "
+                        "other camera flags)")
     p.add_argument("--tonemap", default="gamma2",
                    choices=("gamma2", "reinhard", "aces"),
                    help="display transform: gamma2 (reference "
@@ -273,7 +275,11 @@ def main(argv=None) -> int:
 
     look_from = cam_field("look_from", args.look_from)
     look_at = cam_field("look_at", args.look_at)
-    focus = file_cam.get("focus_distance", args.focus_distance)
+    if args.focus_distance is not None:
+        focus = args.focus_distance
+    else:
+        focus = file_cam.get("focus_distance",
+                             scene_cam.get("focus_distance", 10.0))
     cc = CameraController.book_one_final()
     cc.camera = cc.camera.look_at(look_from, look_at)
     cc.vfov_deg = float(cam_field("vfov", args.vfov))
