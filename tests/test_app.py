@@ -59,3 +59,59 @@ def test_spp_budget_exhausts(book_cover_scene):
         assert s.step() is not None
     assert s.step() is None  # budget met -> no frame (app would idle)
     assert s.progress == 1.0
+
+
+def test_interactive_loop_piped_input(book_cover_scene, tmp_path, capsys):
+    """interactive_loop: renders, steers on keys, exits on 'x'."""
+    import io
+
+    from wavefront_path_tracer_tpu.app import interactive_loop
+
+    s = _session(book_cover_scene)
+    png = tmp_path / "live.png"
+    pos_before = s.camera.camera.position.copy()
+    yaw_before = s.camera.camera.yaw
+    # Two frames, then a move + look, then quit.  StringIO is not
+    # selectable, so the loop falls back to read-all + EOF semantics.
+    frames = interactive_loop(
+        s, out_png=str(png), input_stream=io.StringIO("wj"),
+        max_frames=3, stream=io.StringIO(), show_term=False)
+    assert frames == 3
+    assert png.exists()
+    assert not np.allclose(s.camera.camera.position, pos_before)
+    assert s.camera.camera.yaw != yaw_before
+
+
+def test_interactive_loop_quit_key(book_cover_scene):
+    import io
+
+    from wavefront_path_tracer_tpu.app import interactive_loop
+
+    s = _session(book_cover_scene)
+    frames = interactive_loop(
+        s, input_stream=io.StringIO("x"), stream=io.StringIO(),
+        show_term=False)
+    assert frames == 0  # quit before any frame rendered
+
+
+def test_interactive_loop_converges_and_exits_on_eof(book_cover_scene):
+    import io
+
+    from wavefront_path_tracer_tpu.app import interactive_loop
+
+    s = _session(book_cover_scene)
+    frames = interactive_loop(
+        s, input_stream=io.StringIO(""), stream=io.StringIO(),
+        show_term=False)
+    # 4-spp budget at 1 spf: renders to convergence, then EOF exits.
+    assert frames == 4
+    assert s.progress >= 1.0
+
+
+def test_interactive_look_is_deterministic(book_cover_scene):
+    s = _session(book_cover_scene)
+    s.step()
+    yaw0 = s.camera.camera.yaw
+    s.look(5.0, 0.0)
+    assert abs(s.camera.camera.yaw - yaw0 - np.radians(5.0)) < 1e-6
+    assert s.renderer.progress.accumulated_samples == 0  # restart queued

@@ -56,6 +56,23 @@ class InteractiveSession:
     def mouse_delta(self, dx: float, dy: float) -> None:
         self.camera.process_mouse(dx, dy)
 
+    def look(self, dyaw_deg: float, dpitch_deg: float) -> None:
+        """Turn the camera by a fixed angle (keyboard look).
+
+        Unlike ``mouse_delta`` (whose rotation integrates over the next
+        frame's dt, matching ``camera_controller.rs:150-153``), a key
+        tap turns a deterministic amount regardless of frame time.
+        """
+        import math
+
+        import numpy as np
+
+        cam = self.camera.camera
+        cam.yaw = float(cam.yaw + math.radians(dyaw_deg))
+        cam.pitch = float(np.clip(cam.pitch + math.radians(dpitch_deg),
+                                  -math.pi / 2 + 1e-3, math.pi / 2 - 1e-3))
+        self.renderer.camera_changed()
+
     def resize(self, width: int, height: int) -> None:
         self.renderer.resize(width, height)
 
@@ -92,6 +109,134 @@ class InteractiveSession:
     def progress(self) -> float:
         return self.renderer.progress.progress(
             self.renderer.config.samples_per_pixel)
+
+
+def interactive_loop(session: InteractiveSession, out_png: str | None = None,
+                     max_frames: int | None = None, stream=None,
+                     input_stream=None, show_term: bool | None = None) -> int:
+    """Live watch-and-steer loop — the reference's continuous redraw +
+    input path (``app.rs:102-121``), headless.
+
+    Every iteration: drain pending keys (non-blocking), apply them to
+    the camera (movement integrates over the real frame dt; accumulation
+    restarts on any change, ``path_tracer.rs:240-277``), render one SPF
+    batch, and redraw the preview (ANSI terminal and/or PNG).  Converged
+    frames idle (no re-render) until input arrives.
+
+    Keys: w/a/s/d move, q/e up/down, i/k/j/l look up/down/left/right,
+    [ ] vfov -/+, p save PNG, x quit.  Returns frames rendered.
+    """
+    import select
+
+    from wavefront_path_tracer_tpu.utils.image import (
+        display_transform, write_png)
+    from wavefront_path_tracer_tpu.utils.preview import term_preview_frame
+
+    stream = stream or sys.stderr
+    stdin = input_stream if input_stream is not None else sys.stdin
+    is_tty = hasattr(stdin, "isatty") and stdin.isatty()
+    if show_term is None:
+        show_term = is_tty
+    old_attrs = None
+    if is_tty:
+        import termios
+        import tty
+
+        fd = stdin.fileno()
+        old_attrs = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+
+    def pending_keys() -> str:
+        """All keystrokes available right now (never blocks)."""
+        keys = ""
+        try:
+            while select.select([stdin], [], [], 0)[0]:
+                ch = stdin.read(1) if is_tty else stdin.readline()
+                if not ch:  # EOF (piped input exhausted)
+                    return keys + "\x04"
+                keys += ch.strip() if not is_tty else ch
+        except (OSError, ValueError):  # not selectable (StringIO in tests)
+            chunk = stdin.read()
+            keys += (chunk or "") + "\x04"
+        return keys
+
+    frames = 0
+    eof = False
+    last_result = None
+    print("keys: w/a/s/d q/e move, i/k/j/l look, [ ] vfov, p png, x quit",
+          file=stream)
+    try:
+        while max_frames is None or frames < max_frames:
+            moved = False
+            for ch in pending_keys():
+                c = ch.lower()
+                if c == "x":
+                    return frames
+                elif c == "\x04":
+                    eof = True
+                elif c in _KEY_ACTIONS:
+                    session.key_event(c, True)
+                    moved = True
+                elif c in "ikjl[]":
+                    # progress stays stale (1.0) until the restarted
+                    # accumulation's next render, so force a frame.
+                    moved = True
+                    if c == "i":
+                        session.look(0.0, 5.0)
+                    elif c == "k":
+                        session.look(0.0, -5.0)
+                    elif c == "j":
+                        session.look(5.0, 0.0)
+                    elif c == "l":
+                        session.look(-5.0, 0.0)
+                    elif c == "[":
+                        session.set_vfov(
+                            max(1.0, session.camera.vfov_deg - 2.0))
+                    else:
+                        session.set_vfov(
+                            min(170.0, session.camera.vfov_deg + 2.0))
+                elif c == "p" and out_png and last_result is not None:
+                    write_png(out_png, last_result.image)
+                    print(f"\nwrote {out_png}", file=stream)
+
+            if session.progress >= 1.0 and not moved \
+                    and session.renderer.progress.accumulated_samples:
+                if eof:
+                    break  # converged and no more input can arrive
+                time.sleep(0.05)  # converged: idle until input
+                continue
+
+            result = session.step()
+            # A tapped movement key is a one-frame impulse: it was
+            # pressed for exactly the step that just integrated it.
+            for action in _KEY_ACTIONS.values():
+                getattr(session.camera, action)(False)
+            if result is None:
+                continue
+            last_result = result
+            frames += 1
+
+            cam = session.camera.camera
+            status = (f"frame {frames}  {session.progress:5.0%} of "
+                      f"{session.renderer.config.samples_per_pixel} spp  "
+                      f"{session.fps.get_avg_fps():5.1f} fps  "
+                      f"{result.mrays_per_s:7.1f} Mrays/s  "
+                      f"pos=({cam.position[0]:.2f},{cam.position[1]:.2f},"
+                      f"{cam.position[2]:.2f})")
+            if show_term:
+                term_preview_frame(result.image, status, stream=stream)
+            else:
+                print(status, file=stream)
+            if out_png:
+                samples = max(1, result.samples)
+                write_png(out_png, display_transform(
+                    result.accumulated, samples))
+    finally:
+        if old_attrs is not None:
+            import termios
+
+            termios.tcsetattr(stdin.fileno(), termios.TCSADRAIN, old_attrs)
+    return frames
 
 
 def repl(argv=None) -> int:

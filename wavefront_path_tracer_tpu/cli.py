@@ -41,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spheres", type=int, default=10000,
                    help="sphere count for --scene procedural")
     p.add_argument("--obj", default=None,
-                   help="render an OBJ file (triangle mesh; wavefront/"
-                        "megakernel engines)")
+                   help="render an OBJ file (triangle mesh; all engines — "
+                        "fused traces triangles with intersector 'baked' "
+                        "or the dynamic culled path)")
     p.add_argument("--obj-scale", type=float, default=1.0)
     p.add_argument("--width", type=int, default=400)
     p.add_argument("--height", type=int, default=225)
@@ -132,6 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-term", action="store_true",
                    help="draw the converging image in the terminal "
                         "(24-bit ANSI half-blocks) after every frame")
+    p.add_argument("--interactive", action="store_true",
+                   help="live watch-and-steer session (the reference's "
+                        "app.rs:102-121 loop, headless): renders "
+                        "continuously, WASD/QE move and i/k/j/l look "
+                        "between frame batches with accumulation "
+                        "restart; combine with --preview and/or "
+                        "--preview-term to watch")
     p.add_argument("--checkpoint", default=None,
                    help="npz accumulation checkpoint to write each frame")
     p.add_argument("--resume", default=None,
@@ -303,6 +311,32 @@ def main(argv=None) -> int:
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
         clamp=args.clamp, stop_delta=args.until_delta,
     )
+
+    if args.interactive:
+        from wavefront_path_tracer_tpu.app import (
+            InteractiveSession, interactive_loop)
+
+        if args.preview:
+            from wavefront_path_tracer_tpu.utils.preview import (
+                write_preview_html)
+
+            html = write_preview_html(args.preview)
+            if not args.quiet:
+                print(f"live preview: open {html}", file=sys.stderr)
+        session = InteractiveSession(scene, cc, cfg, triangles=triangles)
+        interactive_loop(session, out_png=args.preview or args.out,
+                         show_term=args.preview_term or None)
+        samples = session.renderer.progress.accumulated_samples
+        if samples:
+            from wavefront_path_tracer_tpu.utils.image import (
+                display_transform)
+
+            write_png(args.out, display_transform(
+                session.renderer._accum.reshape(cfg.height, cfg.width, 3),
+                samples))
+            if not args.quiet:
+                print(f"wrote {args.out} @ {samples} spp", file=sys.stderr)
+        return 0
 
     stage_timer = None
     if args.stage_timing:

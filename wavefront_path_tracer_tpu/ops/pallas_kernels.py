@@ -1261,6 +1261,14 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     intersect.returns_winner_key = winner_hint
     intersect.n_supers = len(sph_hier[1]) + len(tri_hier[1])
     intersect.n_clusters = len(sph_hier[0]) + len(tri_hier[0])
+    # Roofline metadata (bench.py device_utilization): primitives swept
+    # unconditionally every iteration, and total clustered primitives
+    # (pairs per cluster entry = n_clustered_items / n_clusters on
+    # average — Morton clusters are full except the last).
+    intersect.n_globals = len(global_rows)
+    intersect.n_clustered_items = (
+        sum(len(c[2]) for c in sph_hier[0])
+        + sum(len(c[2]) for c in tri_hier[0]))
     return intersect
 
 
