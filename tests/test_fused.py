@@ -351,3 +351,33 @@ def test_dynamic_culled_fori_sweep_matches_unculled():
     plain = render(scene, _cover_camera(), cfg)
     culled = render(scene, _cover_camera(), cfg.replace(baked_clusters=8))
     _statistically_equal(culled, plain)
+
+
+def test_stage_timing_probes(book_cover_scene):
+    """Differential stage timing: returns a breakdown, image semantics
+    unchanged (probes are idempotent), non-baked path refuses."""
+    import jax.numpy as jnp
+
+    from wavefront_path_tracer_tpu.models.fused import stage_timing
+    from wavefront_path_tracer_tpu.renderer import prepare_scene
+
+    cam = _cover_camera()
+    cfg = BASE.replace(engine="fused", intersector="baked",
+                       baked_clusters=4, width=32, height=16)
+    arrays = prepare_scene(book_cover_scene, cfg)
+    base, rows = stage_timing(
+        arrays, cam.gpu_camera(), jnp.asarray(cam.view_matrix()),
+        jnp.asarray(cam.inverse_projection(cfg.width, cfg.height)),
+        cfg, n_samples=2, reps=1)
+    assert base > 0
+    labels = [r[0] for r in rows]
+    assert any("raygen" in l for l in labels)
+    assert any("shade" in l for l in labels)
+    # Shares are non-negative and the residual row closes the budget.
+    assert all(r[2] >= 0 for r in rows)
+
+    with pytest.raises(NotImplementedError):
+        stage_timing(arrays, cam.gpu_camera(),
+                     jnp.asarray(cam.view_matrix()),
+                     jnp.asarray(cam.inverse_projection(32, 16)),
+                     cfg.replace(intersector="bruteforce"), n_samples=2)

@@ -462,6 +462,31 @@ def main(argv=None) -> int:
             f"wrote {args.out}: {cfg.width}x{cfg.height} @ {result.samples} spp "
             f"in {total:.1f}s  [{stats.report()}]", file=sys.stderr,
         )
+    if (args.stage_timing and cfg.engine == "fused"
+            and cfg.intersector == "baked"):
+        # Differential per-stage breakdown (the reference's per-kernel
+        # timestamp report, path_tracer.rs:356-365): each stage's ops
+        # are duplicated in a separate probe compile and the wall-time
+        # delta is its share.  Runs after the render — several extra
+        # bakes, persistently cached.
+        from wavefront_path_tracer_tpu.models.fused import stage_timing
+
+        print("fused stage timing (differential probes, "
+              f"{min(cfg.samples_per_pixel, 32)} spp):", file=sys.stderr)
+        base, rows = stage_timing(
+            renderer.scene_arrays, cc.gpu_camera(),
+            np.asarray(cc.view_matrix()),
+            np.asarray(cc.inverse_projection(cfg.width, cfg.height)),
+            cfg, n_samples=min(cfg.samples_per_pixel, 32))
+        for label, seconds, share in rows:
+            print(f"  {label:34s} {seconds * 1e3:8.2f} ms  {share:6.1%}",
+                  file=sys.stderr)
+        print(f"  {'base render':34s} {base * 1e3:8.2f} ms",
+              file=sys.stderr)
+    elif args.stage_timing and cfg.engine == "fused" and not args.quiet:
+        print("note: the fused differential stage breakdown needs "
+              "--intersector baked; in-kernel iteration/cull counters "
+              "were reported per frame above", file=sys.stderr)
     return 0
 
 

@@ -356,6 +356,103 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     )
 
 
+def stage_timing(scene_arrays, cam, view, inv_proj, config: RenderConfig,
+                 n_samples: int = 32, reps: int = 3):
+    """Per-stage wall-time attribution for the fused engine — the
+    production analog of the reference's per-kernel GPU timestamps
+    (``path_tracer.rs:356-365``, ``query_gpu.rs:94-128``).
+
+    The five reference kernels are ONE Pallas dispatch here and Mosaic
+    exposes no in-kernel clock, so stage times are measured
+    *differentially*: each stage's ops are idempotently duplicated at
+    trace time (``ops/pallas_kernels.PROBE``, CSE-defeated with traced
+    zeros — images unchanged) and the stage's share of iteration time
+    is (t_duplicated - t_base) / t_base.  Each variant is a separate
+    bake + compile (persistently cached), so the first run costs a few
+    compiles; results are exact for THIS scene/config.
+
+    Only the baked intersector is supported: the probed trace is keyed
+    by the fresh bake closure, so variants can't collide in jit caches
+    (the dynamic kernels share static keys across PROBE values).
+
+    Returns (base_seconds, [(stage, seconds, share), ...]) where the
+    final row is the unprobed residual.
+    """
+    if config.intersector != "baked":
+        raise NotImplementedError(
+            "fused stage timing probes are implemented for "
+            "intersector='baked' (the production path); the dynamic "
+            "kernels' jit keys don't distinguish probe variants")
+    import time
+
+    from wavefront_path_tracer_tpu.ops import pallas_kernels as pk
+
+    clusters = _resolve_clusters(config, scene_arrays)
+    culled = clusters > 0
+    stages = [("generate (raygen)", "dbl_raygen")]
+    if culled:
+        stages += [("extend: primitive tests", "dbl_entry"),
+                   ("extend: cull conds", "dbl_cond")]
+    stages += [("shade (BSDF)", "dbl_shade"),
+               ("miss (sky accumulate)", "dbl_accum"),
+               ("loop bookkeeping", "dbl_loopcond")]
+
+    sargs = (
+        np.asarray(scene_arrays["centers"]),
+        np.asarray(scene_arrays["radii"]),
+        np.asarray(scene_arrays["albedo"]),
+        np.asarray(scene_arrays["fuzz"]),
+        np.asarray(scene_arrays["refract_idx"]),
+        np.asarray(scene_arrays["mat_type"]),
+    )
+    eye = _concrete_eye(view)
+    if config.block_tiles:
+        perm, _ = _block_perm(config.width, config.height,
+                              config.block_tiles)
+        pix = jnp.asarray(perm)
+    else:
+        pix = jnp.arange(config.num_pixels, dtype=jnp.uint32)
+
+    def timed(variant: str) -> float:
+        pk.PROBE = frozenset() if variant is None else frozenset([variant])
+        try:
+            # Bypass _BAKED_CACHE: its key doesn't include PROBE, and a
+            # fresh closure per variant keeps the jit caches distinct.
+            if culled:
+                baked = pk.baked_culled_intersect(
+                    *sargs, cluster_size=clusters, camera_hint=eye)
+            else:
+                baked = pk.baked_intersect(*sargs)
+            baked.image_textures = _bake_image_luts(
+                scene_arrays, sargs[0], lut_max=config.tex_lut_max)
+            _, rays = render_pixels(
+                pix, scene_arrays, cam, view, inv_proj, config,
+                jnp.uint32(0), jnp.uint32(0), n_samples, baked)
+            float(rays)  # compile + tunnel-safe completion
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _, rays = render_pixels(
+                    pix, scene_arrays, cam, view, inv_proj, config,
+                    jnp.uint32(1), jnp.uint32(0), n_samples, baked)
+                float(rays)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+        finally:
+            pk.PROBE = frozenset()
+
+    base = timed(None)
+    rows = []
+    for label, probe in stages:
+        dt = timed(probe)
+        share = max(0.0, (dt - base) / base)
+        rows.append((label, base * share, share))
+    probed = sum(r[2] for r in rows)
+    rows.append(("other (winner selects, unprobed)",
+                 base * max(0.0, 1.0 - probed), max(0.0, 1.0 - probed)))
+    return base, rows
+
+
 def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
                   config: RenderConfig, frame, sample_base,
                   n_samples: int, baked_fn=None, with_stats: bool = False,
