@@ -118,3 +118,41 @@ def test_triangles_with_bvh_spheres():
     from wavefront_path_tracer_tpu.utils.image import rmse
 
     assert rmse(bf.image, bv.image) < 5e-3
+
+
+def test_gen_obj_roundtrip_and_fused_parity(tmp_path):
+    """Procedural OBJ (examples/gen_obj.py) -> load_obj -> fused
+    dynamic-culled render matches the megakernel oracle.  Small-scale
+    twin of the 50k-triangle benchmark config (BASELINE config 5)."""
+    import subprocess
+    import sys
+
+    from wavefront_path_tracer_tpu.utils.image import rmse
+
+    obj = tmp_path / "knot.obj"
+    out = subprocess.run(
+        [sys.executable, "examples/gen_obj.py", "--shape", "knot",
+         "--tris", "600", "--out", str(obj)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    b = MeshSceneBuilder()
+    ground = b.lambertian([0.5, 0.5, 0.5])
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+    load_obj(str(obj), builder=b, scale=1.0)
+    scene, tris = b.build_mesh_scene()
+    assert tris.num_triangles >= 600
+
+    cc = CameraController.book_one_final()
+    cc.camera = cc.camera.look_at([0.0, 1.5, 4.0], [0.0, 0.0, 0.0])
+    cc.vfov_deg = 45.0
+    cc.defocus_angle_deg = 0.0
+    cfg = CFG.replace(width=48, height=32, samples_per_pixel=2,
+                      samples_per_frame=2)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"), triangles=tris)
+    fz = render(scene, cc,
+                cfg.replace(engine="fused", intersector="bruteforce",
+                            baked_clusters=16),
+                triangles=tris)
+    assert np.isfinite(fz.accumulated).all()
+    assert mk.image.std() > 0.01  # the knot is actually in frame
+    assert rmse(fz.image, mk.image) < 5e-3
