@@ -1,6 +1,7 @@
 """Textures: checker + image UV lookup, across engines."""
 
 import numpy as np
+import pytest
 
 from wavefront_path_tracer_tpu.renderer import render
 from wavefront_path_tracer_tpu.scene.scene import SceneBuilder, get_scene
@@ -70,8 +71,8 @@ def test_checker_fused_baked_matches_oracle():
 
 
 def test_checker_fused_culled_matches_oracle():
-    # Enough spheres that the cull hierarchy engages, checker-only
-    # textures (the fused engine rejects image textures).
+    # Enough spheres that the cull hierarchy engages; checker-only
+    # textures keep the bake small.
     rng = np.random.RandomState(5)
     b = SceneBuilder()
     ground = b.lambertian([0.2, 0.3, 0.1],
@@ -169,3 +170,59 @@ def test_image_texture_fused_baked():
     diff = np.abs(fz.image - mk.image).max(axis=-1)
     assert (diff > 0.05).mean() < 0.03
     assert rmse(fz.image, mk.image) < 5e-2
+
+
+def test_checker_fused_dynamic_culled():
+    """Checker textures ride the dynamic culled path's 24-column sphere
+    table (pack_culled_scene) — no per-scene compile needed."""
+    scene = get_scene("book_checker")
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=4, samples_per_frame=4)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    dyn = render(scene, cc, cfg.replace(engine="fused",
+                                        intersector="bruteforce",
+                                        baked_clusters=16))
+    assert np.isfinite(dyn.accumulated).all()
+    assert rmse(dyn.image, mk.image) < 5e-3
+
+
+def test_image_texture_fused_dynamic_culled():
+    """Image textures on the dynamic culled path: LUT select-trees are
+    per-texture immediates (O(texels) recompile on texture change, vs
+    the baked path's O(scene))."""
+    scene = _image_scene()
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=4, samples_per_frame=4)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    dyn = render(scene, cc, cfg.replace(engine="fused",
+                                        intersector="bruteforce",
+                                        baked_clusters=8))
+    assert np.isfinite(dyn.accumulated).all()
+    assert rmse(dyn.image, mk.image) < 5e-3
+
+
+def test_plain_dynamic_still_rejects_textures():
+    scene = _image_scene()
+    with pytest.raises(NotImplementedError, match="culled"):
+        render(scene, _cover_camera(),
+               BASE.replace(engine="fused", intersector="bruteforce",
+                            baked_clusters=0))
+
+
+def test_image_texture_full_res_gate_64spp():
+    """The texture-fidelity acceptance gate: when the LUT budget covers
+    the source resolution the fused engines match the XLA full-res
+    sampler to RMSE < 1e-3 at 64 spp (error = 1/1023 pack quantization
+    + polynomial-UV boundary flips, both well under the gate)."""
+    scene = _image_scene()
+    cc = _cover_camera()
+    cfg = BASE.replace(width=48, height=27, samples_per_pixel=64,
+                       samples_per_frame=64)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    baked = render(scene, cc, cfg.replace(engine="fused",
+                                          intersector="baked"))
+    dyn = render(scene, cc, cfg.replace(engine="fused",
+                                        intersector="bruteforce",
+                                        baked_clusters=8))
+    assert rmse(baked.image, mk.image) < 1e-3
+    assert rmse(dyn.image, mk.image) < 1e-3

@@ -178,9 +178,10 @@ def resolve_intersector(engine, intersector, clusters, scene, triangles):
         else:
             n_prims = len(scene.radii) + (
                 len(triangles.v0) if triangles is not None else 0)
-            intersector = ("baked"
-                           if scene.has_textures or n_prims < 2000
-                           else "bruteforce")
+            # Textures run on both fused paths (baked immediates, or
+            # the dynamic culled path's 24-col table + LUT statics), so
+            # auto picks purely by bake cost vs primitive count.
+            intersector = "baked" if n_prims < 2000 else "bruteforce"
             if clusters == 0:
                 clusters = -1   # culling on, size by primitive count
         notes.append(f"note: --intersector auto -> {intersector}"

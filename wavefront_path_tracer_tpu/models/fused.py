@@ -80,7 +80,9 @@ def _dyn_tables(scene_arrays, cluster_size: int, camera_pos=None):
         np.asarray(scene_arrays[k]).tobytes()
         for k in ("centers", "radii", "albedo", "fuzz", "refract_idx",
                   "mat_type", "tri_v0", "tri_e1", "tri_e2", "tri_albedo",
-                  "tri_fuzz", "tri_refract", "tri_mat_type")
+                  "tri_fuzz", "tri_refract", "tri_mat_type",
+                  "tex_kind", "tex_id", "tex_albedo2", "tex_scale",
+                  "tex_data")
         if k in scene_arrays)), cluster_size, hint_key)
     hit = _DYN_CACHE.get(key)
     if hit is None:
@@ -158,6 +160,22 @@ def _bake_image_luts(scene_arrays, centers, lut_max: int = 2048):
         imgs.append((float(centers[i, 0]), float(centers[i, 1]),
                      float(centers[i, 2]), 1.0 / float(radii[i]), lut))
     return tuple(imgs)
+
+
+def _static_image_luts(scene_arrays, lut_max: int) -> tuple:
+    """Hashable image-LUT tuple for the dynamic kernel's static args:
+    ((cx, cy, cz, inv_r, h, w, f32_bytes), ...) — bytes are hashable,
+    arrays are not, and jit keys on the value so equal scenes share the
+    compilation."""
+    if "tex_data" not in scene_arrays:
+        return ()
+    luts = _bake_image_luts(scene_arrays,
+                            np.asarray(scene_arrays["centers"]),
+                            lut_max=lut_max)
+    return tuple(
+        (cx, cy, cz, inv_r, lut.shape[0], lut.shape[1],
+         np.asarray(lut, np.float32).tobytes())
+        for cx, cy, cz, inv_r, lut in luts)
 
 
 def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
@@ -287,10 +305,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
                                lut_max=config.tex_lut_max),
             lane_split=split,
         )
-    if "tex_kind" in scene_arrays and config.intersector != "baked":
+    if "tex_kind" in scene_arrays and clusters <= 0:
         raise NotImplementedError(
-            "the fused engine evaluates textures only with "
-            "intersector='baked' (checker textures as baked constants)"
+            "the fused engine evaluates textures with "
+            "intersector='baked' or the dynamic culled path "
+            "(baked_clusters > 0); the plain dynamic VMEM kernel "
+            "carries no texture winner fields"
         )
     if config.winner_hint:
         # The dynamic culled intersector has no shortlist; refusing
@@ -319,7 +339,8 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
         dyn, (ngb, ncl, ntc) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters)
+        dyn_static = (ngb, ncl, ntc, clusters,
+                      _static_image_luts(scene_arrays, config.tex_lut_max))
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=None, lane_split=split,
@@ -347,7 +368,8 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
         dyn, (ngb, ncl, ntc) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters)
+        dyn_static = (ngb, ncl, ntc, clusters,
+                      _static_image_luts(scene_arrays, config.tex_lut_max))
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,
@@ -534,11 +556,12 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             sampler=config.sampler,
         )
     elif dyn_tables is not None:
-        ngb, ncl, ntc, csize = dyn_static
+        ngb, ncl, ntc, csize, image_luts = dyn_static
         rad_r, rad_g, rad_b, rays = fused_render_dynculled(
             *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
             n_global_blocks=ngb, n_clusters=ncl, n_tri_clusters=ntc,
-            cluster_size=csize, rows=tile_rows, interpret=interpret,
+            cluster_size=csize, image_luts=image_luts,
+            rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,
             rotate_cols=config.lane_rotate_cols,
             rr_start=config.rr_start_bounce,

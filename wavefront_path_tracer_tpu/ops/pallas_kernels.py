@@ -1289,7 +1289,11 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     code, re-sorting for a new camera never recompiles (unlike the
     baked path).
 
-    Returns (scn (N_pad, 16) f32 NaN-padded reordered sphere table,
+    Returns (scn (N_pad, 16) f32 NaN-padded reordered sphere table —
+    (N_pad, 24) when the scene has textures, cols 16-18 checker
+    albedo2 rgb and 19 checker scale (0 = untextured sphere); the
+    wider table IS the structure signal, so textured scenes compile a
+    textured kernel and plain scenes pay nothing,
     clu (C, 8) f32 cluster AABBs [lo xyz, hi xyz, 0, 0],
     slab (1, 8) f32 [lo xyz, hi xyz, 0, 0],
     tri (T_pad, 24) f32 NaN-padded triangle table (cols: v0 xyz, e1
@@ -1306,6 +1310,11 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     fuzz = np.asarray(scene_arrays["fuzz"], np.float32)
     refract = np.asarray(scene_arrays["refract_idx"], np.float32)
     mat = np.asarray(scene_arrays["mat_type"], np.float32)
+    textured = "tex_kind" in scene_arrays
+    ncols = 24 if textured else 16
+    if textured:
+        tex_a2 = np.asarray(scene_arrays["tex_albedo2"], np.float32)
+        tex_sc = np.asarray(scene_arrays["tex_scale"], np.float32)
 
     med_r = float(np.median(radii))
     is_global = radii > global_radius_factor * med_r
@@ -1328,7 +1337,7 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
 
     def rows(idx, pad_to):
         n = idx.size
-        out = np.full((max(pad_to, ((n + 7) // 8) * 8), 16), np.nan,
+        out = np.full((max(pad_to, ((n + 7) // 8) * 8), ncols), np.nan,
                       np.float32)
         out[:n, 0:3] = centers[idx]
         out[:n, 3] = radii[idx]
@@ -1347,6 +1356,9 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
                        - radii[idx].astype(np.float64) ** 2)
         out[:n, 11] = 1.0 / radii[idx]
         out[:n, 12:15] = 2.0 * c64
+        if textured:
+            out[:n, 16:19] = tex_a2[idx]
+            out[:n, 19] = tex_sc[idx]
         return out
 
     g_tab = rows(g_idx, 8)
@@ -1474,7 +1486,12 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     blocks_per_cluster = cluster_size // 8
     assert cluster_size % 8 == 0
     has_tris = n_tri_clusters > 0
-    nfld = 15 if has_tris else 11
+    # A 24-column sphere table signals checker-texture columns (16-19,
+    # pack_culled_scene); the winner carry then grows to the full
+    # 19-field baked interface (tri fields included even without
+    # triangles — interface positions are fixed).
+    textured = scn_ref.shape[1] >= 20
+    nfld = 19 if textured else (15 if has_tris else 11)
 
     def sphere_block(blk, carry, quad):
         # Issue-rate-slimmed quadratic on table columns (see
@@ -1509,7 +1526,17 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             if rest:
                 # Triangle normals stay stale (shade ignores them for
                 # sphere winners); only the is-triangle flag clears.
-                rest = rest[:3] + (jnp.where(better, 0.0, rest[3]),)
+                upd = rest[:3] + (jnp.where(better, 0.0, rest[3]),)
+                if len(rest) > 4:
+                    # Checker-texture winner fields (albedo2 rgb +
+                    # scale; scale 0 = plain sphere, never selects).
+                    upd = upd + (
+                        jnp.where(better, blk[j, 16], rest[4]),
+                        jnp.where(better, blk[j, 17], rest[5]),
+                        jnp.where(better, blk[j, 18], rest[6]),
+                        jnp.where(better, blk[j, 19], rest[7]),
+                    )
+                rest = upd
             carry = (
                 jnp.where(better, t, best_t),
                 jnp.where(better, cx, b_cx),
@@ -1531,7 +1558,8 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         # padding rows can never win (all compares false).
         for j in range(8):
             (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry
+             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+            tex_rest = carry[15:]
             v0x, v0y, v0z = blk[j, 0], blk[j, 1], blk[j, 2]
             e1x, e1y, e1z = blk[j, 3], blk[j, 4], blk[j, 5]
             e2x, e2y, e2z = blk[j, 6], blk[j, 7], blk[j, 8]
@@ -1568,6 +1596,14 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                 jnp.where(better, blk[j, 11], b_nz),
                 jnp.where(better, 1.0, b_it),
             )
+            if tex_rest:
+                # Triangles carry no checker texture: a triangle win
+                # must zero the winner's checker scale or a stale
+                # sphere scale would modulate the triangle's albedo.
+                carry = carry + (
+                    tex_rest[0], tex_rest[1], tex_rest[2],
+                    jnp.where(better, 0.0, tex_rest[3]),
+                )
         return carry
 
     def intersect(ox, oy, oz, dx, dy, dz, alive=None):
@@ -1621,8 +1657,10 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             zero, zero, zero, zero,
             jnp.ones(shape, f32), zero,
         )
-        if has_tris:
+        if has_tris or textured:
             init = init + (zero, zero, jnp.ones(shape, f32), zero)
+        if textured:
+            init = init + (zero, zero, zero, zero)
 
         # Globals (giant spheres): always tested, establishes best_t.
         def g_step(k, carry):
@@ -1829,6 +1867,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         return out[:nfld] + (out[nfld + 1], out[nfld])
 
     intersect.returns_cull_stats = True
+    intersect.has_textures = textured
     intersect.n_supers = 0
     intersect.n_clusters = n_clusters
     return intersect
@@ -2312,7 +2351,7 @@ def fused_render_baked(
     static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
                      "cluster_size", "rows", "interpret", "rotate",
                      "rotate_cols", "rr_start", "rr_floor", "clamp",
-                     "sampler"),
+                     "sampler", "image_luts"),
 )
 def fused_render_dynculled(
     scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
@@ -2332,10 +2371,17 @@ def fused_render_dynculled(
     rr_floor: float = 0.05,
     clamp: float = 0.0,
     sampler: str = "random",
+    image_luts: tuple = (),
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
-    of the same structure reuse this compilation."""
+    of the same structure reuse this compilation.
+
+    Checker textures ride the (runtime) 24-column sphere table; image
+    textures arrive as ``image_luts`` — a hashable static tuple of
+    (cx, cy, cz, inv_r, h, w, f32_bytes) baked into select-tree
+    immediates (see _apply_image_textures), so changing an image
+    texture recompiles (O(texels), unlike the baked path's O(scene))."""
     total_rows = pix.shape[0]
     assert total_rows % rows == 0
     grid = (total_rows // rows,)
@@ -2354,6 +2400,11 @@ def fused_render_dynculled(
             scn_ref, clu_ref, slab_ref, n_global_blocks, n_clusters,
             cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
             tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters)
+        if image_luts:
+            intersect.image_textures = tuple(
+                (cx, cy, cz, inv_r,
+                 np.frombuffer(raw, np.float32).reshape(h, w, 3))
+                for cx, cy, cz, inv_r, h, w, raw in image_luts)
         _persistent_impl(intersect, salt_ref, cam_ref, px_ref, xs_ref,
                          ys_ref, valid_ref, soff_ref,
                          rad_r_o, rad_g_o, rad_b_o, rays_o, rotate=rotate,

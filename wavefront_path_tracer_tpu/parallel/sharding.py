@@ -106,13 +106,14 @@ def render_samples_sharded(
     elif (config.engine == "fused" and config.intersector == "bruteforce"
           and clusters > 0):
         from wavefront_path_tracer_tpu.models.fused import (
-            _concrete_eye, _dyn_tables)
+            _concrete_eye, _dyn_tables, _static_image_luts)
 
         # closure-captured, replicated
         dyn, (ngb, ncl, ntc) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters)
+        dyn_static = (ngb, ncl, ntc, clusters,
+                      _static_image_luts(scene_arrays, config.tex_lut_max))
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the
