@@ -7,7 +7,7 @@ The metric is rays processed by extend+shade per second (live rays
 summed over bounces / wall time), the BASELINE.json headline.  The
 baseline target is 1,000 Mrays/s (1 Grays/s) per chip.  The JSON also
 carries roofline accounting: achieved primitive-pair tests/s vs the
-measured ~44.4 Gpairs/s VPU issue ceiling (exp/micro_r2.py C6/A) as
+measured ~146.3 Gpairs/s VPU issue ceiling (exp/pair_ceiling.py) as
 "device_utilization" — "32% of an aspirational target" and "X% of what
 this silicon can issue" are different claims; both are recorded.
 
@@ -36,9 +36,12 @@ import time
 
 
 BASELINE_MRAYS = 1000.0
-# Measured VPU primitive-pair issue ceiling on this chip: 44.4 Gpairs/s
-# sphere-major (exp/micro_r2.py C6), 44.1 baked-immediates (A).
-PAIR_CEILING = 44.4e9
+# Measured VPU primitive-pair issue ceiling on this chip: 146.3 Gpairs/s
+# sphere-major dynamic, 145.5 baked immediates (exp/pair_ceiling.py,
+# slope-timed so the tunnel's ~25 ms RTT cancels).  Round 2's 44.4
+# (micro_r2 C6) timed single blocking calls and under-reported ~3.3x,
+# which made utilization read as an impossible 2.4.
+PAIR_CEILING = 146.3e9
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "golden", "LAST_GOOD_BENCH.json")
 
@@ -319,8 +322,8 @@ def worker_main(args) -> None:
         out["pairs_per_s"] = round(result["pairs_per_s"], 1)
         out["device_utilization"] = round(result["device_utilization"], 4)
         out["utilization_note"] = (
-            "primitive-pair tests issued / measured 44.4 Gpairs/s VPU "
-            "issue ceiling (exp/micro_r2.py C6)")
+            "primitive-pair tests issued / measured 146.3 Gpairs/s VPU "
+            "issue ceiling (exp/pair_ceiling.py, slope-timed)")
     print(json.dumps(out))
 
 

@@ -43,31 +43,41 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 LANES = 128
 
 
-def stream_kernel(hbm_ref, out_ref, *, chunk_rows: int, n_chunks: int,
-                  compute_iters: int):
+def stream_kernel(passes_ref, hbm_ref, out_ref, *, chunk_rows: int,
+                  n_chunks: int, compute_iters: int):
     """Double-buffered HBM->VMEM stream; optional VPU work per chunk.
 
     Accumulates a sum of every chunk into out_ref so no copy can be
     elided.  ``compute_iters`` extra fma-chain iterations per chunk
     emulate the intersector math the stream would overlap with.
+
+    ``passes`` repeats the full sweep inside ONE dispatch: on this
+    tunneled device a blocking call costs ~25 ms RTT, which at spec
+    bandwidth (~819 GB/s) swamps a 268 MB transfer (0.33 ms) by 75x.
+    Timing two different pass counts and taking the slope cancels the
+    RTT, dispatch, and host-transfer overheads exactly.
     """
 
     def body(scratch, acc, sem):
         def get_dma(slot, idx):
+            chunk = jax.lax.rem(idx, n_chunks)
             return pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(idx * chunk_rows, chunk_rows)],
+                hbm_ref.at[pl.ds(chunk * chunk_rows, chunk_rows)],
                 scratch.at[slot],
                 sem.at[slot],
             )
 
         get_dma(0, 0).start()
         acc[:] = jnp.zeros_like(acc)
+        # Dynamic pass count (SMEM scalar): one compile serves every
+        # slope point, instead of one ~30 s tunnel compile per count.
+        total = passes_ref[0] * n_chunks
 
         def loop(idx, carry):
             slot = jax.lax.rem(idx, 2)
             nxt = jax.lax.rem(idx + 1, 2)
 
-            @pl.when(idx + 1 < n_chunks)
+            @pl.when(idx + 1 < total)
             def _():
                 get_dma(nxt, idx + 1).start()
 
@@ -83,7 +93,7 @@ def stream_kernel(hbm_ref, out_ref, *, chunk_rows: int, n_chunks: int,
             acc[:] = acc[:] + part
             return x
 
-        x = jax.lax.fori_loop(0, n_chunks, loop,
+        x = jax.lax.fori_loop(0, total, loop,
                               jnp.full((8, LANES), 0.1, jnp.float32))
         out_ref[:] = acc[:] + x * 1e-30
 
@@ -95,42 +105,85 @@ def stream_kernel(hbm_ref, out_ref, *, chunk_rows: int, n_chunks: int,
     )
 
 
-def run_stream(data, chunk_rows: int, compute_iters: int, reps: int):
-    rows = data.shape[0]
-    n_chunks = rows // chunk_rows
+def _stream_fn(data, chunk_rows: int, n_chunks: int, compute_iters: int):
     fn = pl.pallas_call(
         functools.partial(stream_kernel, chunk_rows=chunk_rows,
                           n_chunks=n_chunks, compute_iters=compute_iters),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )
     jfn = jax.jit(fn)
-    out = jax.block_until_ready(jfn(data))  # warm compile
+    import numpy as _np
+    jax.block_until_ready(jfn(_np.array([1], _np.int32), data))
+    return jfn
+
+
+def _time_call(jfn, p, data, reps: int) -> float:
+    import numpy as _np
+    parr = _np.array([p], _np.int32)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jfn(data)
+        out = jfn(parr, data)
         float(out[0, 0])  # force a host transfer (tunnel-safe timing)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    return min(times)
+
+
+def run_stream(data, chunk_rows: int, compute_iters: int, reps: int,
+               passes=(2, 42)):
+    """Slope-timed bandwidth: stream the buffer p times in one dispatch
+    for each p in ``passes``; GB/s = extra bytes / extra seconds.  The
+    subtraction cancels RTT, dispatch, compile-cache lookup, and the
+    result transfer — everything that is not the stream itself.
+    """
+    rows = data.shape[0]
+    n_chunks = rows // chunk_rows
+    p_lo, p_hi = passes
+    jfn = _stream_fn(data, chunk_rows, n_chunks, compute_iters)
+    t_lo = _time_call(jfn, p_lo, data, reps)
+    t_hi = _time_call(jfn, p_hi, data, reps)
     nbytes = n_chunks * chunk_rows * LANES * 4
-    return nbytes / dt / 1e9, dt
+    dt = t_hi - t_lo
+    if dt <= 0:
+        return float("nan"), dt
+    return (p_hi - p_lo) * nbytes / dt / 1e9, dt
 
 
-def run_xla_baseline(data, reps: int):
-    """The round-2 'naive' comparison: XLA reduce straight over HBM."""
-    jfn = jax.jit(lambda x: x.sum(axis=0))
-    out = jax.block_until_ready(jfn(data))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = jfn(data)
-        float(out[0])
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    return data.nbytes / dt / 1e9, dt
+def run_xla_baseline(data, reps: int, passes=(2, 12)):
+    """The round-2 'naive' comparison: XLA reduce straight over HBM.
+
+    Slope-timed like run_stream: p full-array reduces inside one jit
+    (the idx-dependent scale defeats loop-invariant hoisting), GB/s
+    from the (p_hi - p_lo) delta.
+    """
+    def make(p):
+        def f(x):
+            def body(i, acc):
+                return acc * 1e-37 + (x * (1.0 + i * 1e-30)).sum(axis=0)
+            return jax.lax.fori_loop(0, p, body,
+                                     jnp.zeros((x.shape[1],), x.dtype))
+        jfn = jax.jit(f)
+        jax.block_until_ready(jfn(data))
+        return jfn
+
+    def tc(jfn):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = jfn(data)
+            float(out[0])
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    p_lo, p_hi = passes
+    dt = tc(make(p_hi)) - tc(make(p_lo))
+    if dt <= 0:
+        return float("nan"), dt
+    return (p_hi - p_lo) * data.nbytes / dt / 1e9, dt
 
 
 def main():
@@ -138,7 +191,11 @@ def main():
     p.add_argument("--mb", type=int, default=256,
                    help="total MB streamed per measurement")
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--passes", type=int, nargs=2, default=(2, 42),
+                   help="low/high pass counts for slope timing; wider "
+                        "= more stable (10.7 GB extra at the default)")
     args = p.parse_args()
+    passes = tuple(args.passes)
 
     rows = args.mb * 1024 * 1024 // (LANES * 4)
     data = jnp.asarray(
@@ -147,9 +204,9 @@ def main():
     print(f"device: {jax.devices()[0]}  payload: {data.nbytes/1e6:.0f} MB "
           f"({rows}x{LANES} f32)")
 
-    gbs, dt = run_xla_baseline(data, args.reps)
+    gbs, dt = run_xla_baseline(data, args.reps, passes)
     print(f"| XLA jit sum over HBM (naive baseline) | {gbs:7.2f} GB/s | "
-          f"{dt*1e3:7.1f} ms |")
+          f"slope {dt*1e3:7.1f} ms |")
 
     for chunk_kb in (64, 256, 1024, 4096):
         chunk_rows = chunk_kb * 1024 // (LANES * 4)
@@ -159,12 +216,13 @@ def main():
                              (64, "+64 fma/chunk"),
                              (512, "+512 fma/chunk")):
             try:
-                gbs, dt = run_stream(data, chunk_rows, iters, args.reps)
+                gbs, dt = run_stream(data, chunk_rows, iters, args.reps,
+                                     passes)
             except Exception as e:
                 print(f"| DMA chunk {chunk_kb} KB, {label} | FAILED {e} |")
                 continue
             print(f"| DMA double-buffered, chunk {chunk_kb:5d} KB, "
-                  f"{label:15s} | {gbs:7.2f} GB/s | {dt*1e3:7.1f} ms |")
+                  f"{label:15s} | {gbs:7.2f} GB/s | slope {dt*1e3:7.1f} ms |")
 
 
 if __name__ == "__main__":
