@@ -223,8 +223,12 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
                   "mat_type", "tex_kind", "tex_id", "tex_data")
         if k in scene_arrays
     ) + b"".join(np.asarray(t).tobytes() for t in (tex or ())))
+    # Image-textured scenes carry the true per-sphere 1/r (the LUT
+    # winner-identity key); others get the sign-only fast path.
+    full_inv_r = bool("tex_kind" in scene_arrays
+                      and (np.asarray(scene_arrays["tex_kind"]) == 2).any())
     key = (centers.shape[0], sphere_key, tri_key, clusters, hint_key,
-           winner_hint, lut_max)
+           winner_hint, lut_max, full_inv_r)
     fn = _BAKED_CACHE.get(key)
     if fn is None:
         args = (
@@ -239,9 +243,11 @@ def _baked_fn(scene_arrays, clusters: int = 0, camera_pos=None,
             fn = baked_culled_intersect(*args, cluster_size=clusters,
                                         triangles=triangles, tex=tex,
                                         camera_hint=camera_pos,
-                                        winner_hint=winner_hint)
+                                        winner_hint=winner_hint,
+                                        full_inv_r=full_inv_r)
         else:
-            fn = baked_intersect(*args, triangles=triangles, tex=tex)
+            fn = baked_intersect(*args, triangles=triangles, tex=tex,
+                                 full_inv_r=full_inv_r)
         fn.image_textures = _bake_image_luts(scene_arrays, centers,
                                              lut_max=lut_max)
         _BAKED_CACHE[key] = fn

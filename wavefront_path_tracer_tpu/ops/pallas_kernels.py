@@ -524,7 +524,7 @@ def _t2_elidable(centers, radii, mat_type, fuzz, triangles=None):
 
 
 def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
-                    triangles=None, tex=None):
+                    triangles=None, tex=None, full_inv_r=False):
     """Build an intersect function with the scene baked as immediates.
 
     Dynamic per-sphere scalar VMEM loads dominate the sphere loop's
@@ -551,6 +551,13 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
     else:
         a2 = np.zeros((n, 3), np.float32)
         ts = np.zeros((n,), np.float32)
+    # The winner's inv_r matters only through its SIGN: shade rsqrt-
+    # normalizes the normal anyway (_shade_tile:207), so all-positive
+    # scenes drop the select entirely and scenes with negative-radius
+    # (inside-out) spheres carry a per-sphere +-1 flip.  Image-textured
+    # scenes keep the true 1/r — it is part of the LUT winner-identity
+    # key (_apply_image_textures:324) — via ``full_inv_r``.
+    any_neg = bool((np.asarray(radii) < 0).any())
     elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
     sph = [
         (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
@@ -617,7 +624,12 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
             b_cx = jnp.where(better, cx, b_cx)
             b_cy = jnp.where(better, cy, b_cy)
             b_cz = jnp.where(better, cz, b_cz)
-            b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+            if full_inv_r:
+                b_inv_r = jnp.where(better, 1.0 / r, b_inv_r)
+            elif any_neg:
+                b_inv_r = jnp.where(better, 1.0 if r > 0 else -1.0,
+                                    b_inv_r)
+            # else: stays the init 1.0 — no select (sign-only use).
             b_ar = jnp.where(better, ar, b_ar)
             b_ag = jnp.where(better, ag, b_ag)
             b_ab = jnp.where(better, ab, b_ab)
@@ -711,7 +723,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            triangles=None, tex=None,
                            camera_hint=None, refresh: int = 16,
                            super_gate: int = 48,
-                           winner_hint: bool = False):
+                           winner_hint: bool = False,
+                           full_inv_r: bool = False):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -804,6 +817,9 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     nf = (19 if textured else 15) + (1 if winner_hint else 0)
 
     _elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
+    # See baked_intersect: inv_r is sign-only for shade; full 1/r is
+    # carried only for image-textured scenes (LUT identity key).
+    _any_neg = bool((np.asarray(radii) < 0).any())
 
     def rows(idx):
         return [
@@ -989,7 +1005,13 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_cx = jnp.where(better, cx, b_cx)
                 b_cy = jnp.where(better, cy, b_cy)
                 b_cz = jnp.where(better, cz, b_cz)
-                b_ir = jnp.where(better, 1.0 / r, b_ir)
+                if full_inv_r:
+                    b_ir = jnp.where(better, 1.0 / r, b_ir)
+                elif _any_neg:
+                    b_ir = jnp.where(better, 1.0 if r > 0 else -1.0,
+                                     b_ir)
+                # else: stays the init 1.0 — shade only uses the sign
+                # (the normal is rsqrt-normalized; _shade_tile:207).
                 b_ar = jnp.where(better, ar, b_ar)
                 b_ag = jnp.where(better, ag, b_ag)
                 b_ab = jnp.where(better, ab, b_ab)
