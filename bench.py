@@ -80,7 +80,8 @@ def _roofline(engine: str, intersector: str, clusters: int, arrays,
         from wavefront_path_tracer_tpu.ops.pallas_kernels import (
             pack_culled_scene)
 
-        (_, _, _, _, _, _, ngb, ncl, _) = pack_culled_scene(
+        (_, _, _, _, _, _, _, _,
+         ngb, ncl, _, _, _) = pack_culled_scene(
             arrays, cluster_size=clusters, camera_hint=camera_pos)
         pairs = iters * ngb * 8 * lanes + entered * clusters * lanes
     else:

@@ -340,8 +340,10 @@ def test_dynamic_culled_multibatch_matches_unculled():
 
 
 def test_dynamic_culled_fori_sweep_matches_unculled():
-    """>64 clusters falls back from the statically-unrolled cluster
-    sweep to the compact lax fori_loop; same-image gate."""
+    """>64 clusters switches from the statically-unrolled cluster sweep
+    to the rolled super-gated form (fori over _DYN_SUPER-cluster
+    superclusters, each batch gated on its union AABB); same-image
+    gate."""
     from wavefront_path_tracer_tpu.scene.scene import get_scene
 
     scene = get_scene("procedural", n=600, seed=5)

@@ -156,3 +156,38 @@ def test_gen_obj_roundtrip_and_fused_parity(tmp_path):
     assert np.isfinite(fz.accumulated).all()
     assert mk.image.std() > 0.01  # the knot is actually in frame
     assert rmse(fz.image, mk.image) < 5e-3
+
+
+def test_tri_super_sweep_matches_oracle():
+    """>64 triangle clusters switches the dynamic-culled sweep to the
+    rolled super-gated form (fori over _DYN_SUPER-cluster batches, the
+    whole batch inside one pl.when on the supercluster AABB); the image
+    must stay oracle-equal.  Covers the triangle twin of
+    test_dynamic_culled_fori_sweep_matches_unculled."""
+    from examples.gen_obj import torus_knot
+
+    from wavefront_path_tracer_tpu.utils.image import rmse
+
+    v, f = torus_knot(1400)
+    b = MeshSceneBuilder()
+    ground = b.lambertian([0.5, 0.5, 0.5])
+    b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
+    b.mesh(v, f, b.lambertian([0.7, 0.3, 0.2]))
+    scene, tris = b.build_mesh_scene()
+    assert (tris.num_triangles + 15) // 16 > 64  # super path engaged
+
+    cc = CameraController.book_one_final()
+    cc.camera = cc.camera.look_at([0.0, 1.5, 4.0], [0.0, 0.0, 0.0])
+    cc.vfov_deg = 45.0
+    cc.defocus_angle_deg = 0.0
+    cfg = CFG.replace(width=48, height=32, samples_per_pixel=2,
+                      samples_per_frame=2, max_bounces=6)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"),
+                triangles=tris)
+    fz = render(scene, cc,
+                cfg.replace(engine="fused", intersector="bruteforce",
+                            baked_clusters=16),
+                triangles=tris)
+    assert np.isfinite(fz.accumulated).all()
+    assert mk.image.std() > 0.01
+    assert rmse(fz.image, mk.image) < 5e-3

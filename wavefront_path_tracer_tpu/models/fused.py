@@ -86,12 +86,13 @@ def _dyn_tables(scene_arrays, cluster_size: int, camera_pos=None):
         if k in scene_arrays)), cluster_size, hint_key)
     hit = _DYN_CACHE.get(key)
     if hit is None:
-        (scn, clu, slab, tri, tri_clu, tri_slab,
-         ngb, ncl, ntc) = pack_culled_scene(
+        (scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
+         ngb, ncl, nsup, ntc, ntsup) = pack_culled_scene(
             scene_arrays, cluster_size=cluster_size, camera_hint=camera_pos)
-        hit = ((jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(slab),
-                jnp.asarray(tri), jnp.asarray(tri_clu),
-                jnp.asarray(tri_slab)), (ngb, ncl, ntc))
+        hit = ((jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(sup),
+                jnp.asarray(slab), jnp.asarray(tri),
+                jnp.asarray(tri_clu), jnp.asarray(tri_sup),
+                jnp.asarray(tri_slab)), (ngb, ncl, nsup, ntc, ntsup))
         _DYN_CACHE[key] = hit
         while len(_DYN_CACHE) > _BAKED_CACHE_MAX:
             _DYN_CACHE.popitem(last=False)
@@ -342,10 +343,10 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     dyn = None
     dyn_static = None
     if clusters > 0:
-        dyn, (ngb, ncl, ntc) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters,
+        dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
                       _static_image_luts(scene_arrays, config.tex_lut_max))
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
@@ -371,10 +372,10 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     dyn = None
     dyn_static = None
     if baked_fn is None and clusters > 0:
-        dyn, (ngb, ncl, ntc) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters,
+        dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
                       _static_image_luts(scene_arrays, config.tex_lut_max))
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
@@ -562,10 +563,11 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             sampler=config.sampler,
         )
     elif dyn_tables is not None:
-        ngb, ncl, ntc, csize, image_luts = dyn_static
+        ngb, ncl, nsup, ntc, ntsup, csize, image_luts = dyn_static
         rad_r, rad_g, rad_b, rays = fused_render_dynculled(
             *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
-            n_global_blocks=ngb, n_clusters=ncl, n_tri_clusters=ntc,
+            n_global_blocks=ngb, n_clusters=ncl, n_supers=nsup,
+            n_tri_clusters=ntc, n_tri_supers=ntsup,
             cluster_size=csize, image_luts=image_luts,
             rows=tile_rows, interpret=interpret,
             rotate=config.lane_rotate,

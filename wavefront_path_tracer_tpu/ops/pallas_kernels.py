@@ -65,6 +65,14 @@ PROBE: frozenset = frozenset()
 # compact fori_loop keeps compile time O(#clusters).
 _DYN_UNROLL_CLUSTERS = 64
 
+# Dynamic culled sweep above the unroll gate: clusters per supercluster
+# (= per rolled batch).  One super's child clusters are swept inside a
+# single pl.when gated on the super's AABB cond, so the whole batch —
+# child cond pass included — is skipped when no live lane can enter it.
+# Shared between pack_culled_scene (which sizes the super AABB table)
+# and make_dynamic_culled_intersect (which sizes the rolled loop).
+_DYN_SUPER = 16
+
 
 def _u32(x):
     return jnp.uint32(x)
@@ -1294,6 +1302,50 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     return intersect
 
 
+def _super_group(clu_tabs, aabbs, cluster_size, ncols, hint_order):
+    """Order clusters for the dynamic sweep and build its super level.
+
+    At or below _DYN_UNROLL_CLUSTERS clusters the camera hint orders
+    individual clusters (the statically unrolled sweep) and no supers
+    are built.  Above it, clusters stay Morton-consecutive (spatially
+    tight) inside superclusters of _DYN_SUPER, the camera hint orders
+    the SUPERS front-to-back, and the cluster list is NaN-padded to a
+    super multiple so the rolled sweep's dynamic indexing never leaves
+    the tables (NaN AABBs compare false -> padded clusters are never
+    entered).  Returns (clu_tabs, aabbs, sup_aabbs, n_supers).
+    """
+    import numpy as np
+
+    n = len(clu_tabs)
+    if n == 0:
+        return clu_tabs, aabbs, [], 0
+    if n <= _DYN_UNROLL_CLUSTERS:
+        visit = hint_order(aabbs)
+        return ([clu_tabs[i] for i in visit],
+                [aabbs[i] for i in visit], [], 0)
+    pad_tab = np.full((cluster_size, ncols), np.nan, np.float32)
+    pad_box = np.full((8,), np.nan, np.float32)
+    clu_tabs = list(clu_tabs)
+    aabbs = list(aabbs)
+    while len(clu_tabs) % _DYN_SUPER:
+        clu_tabs.append(pad_tab)
+        aabbs.append(pad_box)
+    groups = [(clu_tabs[s:s + _DYN_SUPER], aabbs[s:s + _DYN_SUPER])
+              for s in range(0, len(clu_tabs), _DYN_SUPER)]
+    sup_aabbs = []
+    for _tabs, boxes in groups:
+        real = np.stack([b for b in boxes if not np.isnan(b[0])])
+        sup_aabbs.append(np.concatenate([
+            real[:, 0:3].min(axis=0), real[:, 3:6].max(axis=0),
+            [0.0, 0.0]]).astype(np.float32))
+    visit = hint_order(sup_aabbs)
+    clu_tabs, aabbs = [], []
+    for i in visit:
+        clu_tabs.extend(groups[i][0])
+        aabbs.extend(groups[i][1])
+    return clu_tabs, aabbs, [sup_aabbs[i] for i in visit], len(groups)
+
+
 def pack_culled_scene(scene_arrays, cluster_size: int = 16,
                       global_radius_factor: float = 10.0,
                       camera_hint=None):
@@ -1317,12 +1369,18 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     wider table IS the structure signal, so textured scenes compile a
     textured kernel and plain scenes pay nothing,
     clu (C, 8) f32 cluster AABBs [lo xyz, hi xyz, 0, 0],
+    sup (S, 8) f32 supercluster AABBs (unions of _DYN_SUPER
+    consecutive clusters; built only above _DYN_UNROLL_CLUSTERS, where
+    the kernel switches to the rolled super-gated sweep — NaN
+    placeholder otherwise),
     slab (1, 8) f32 [lo xyz, hi xyz, 0, 0],
     tri (T_pad, 24) f32 NaN-padded triangle table (cols: v0 xyz, e1
     xyz, e2 xyz, unit normal xyz, albedo rgb, fuzz, ior, mat_type),
-    tri_clu (TC, 8), tri_slab (1, 8),
-    n_global_blocks, n_clusters, n_tri_clusters) — the last three are
-    python ints (static kernel structure).
+    tri_clu (TC, 8), tri_sup (TS, 8), tri_slab (1, 8),
+    n_global_blocks, n_clusters, n_supers, n_tri_clusters,
+    n_tri_supers) — the last five are python ints (static kernel
+    structure).  With supers, n_clusters counts NaN padding up to a
+    super multiple.
     """
     import numpy as np
 
@@ -1402,9 +1460,8 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         lo = (centers[idx] - radii[idx, None]).min(axis=0)
         hi = (centers[idx] + radii[idx, None]).max(axis=0)
         aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]]).astype(np.float32))
-    visit = hint_order(aabbs)
-    clu_tabs = [clu_tabs[i] for i in visit]
-    aabbs = [aabbs[i] for i in visit]
+    clu_tabs, aabbs, sup_aabbs, n_supers = _super_group(
+        clu_tabs, aabbs, cluster_size, ncols, hint_order)
     n_clusters = len(clu_tabs)
     scn = np.concatenate([g_tab] + clu_tabs) if clu_tabs else g_tab
 
@@ -1419,6 +1476,8 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
 
     clu = pad8(np.stack(aabbs) if aabbs
                else np.zeros((0, 8), np.float32))
+    sup = pad8(np.stack(sup_aabbs)) if n_supers else np.full(
+        (8, 8), np.nan, np.float32)
     # Row 0: cluster-slab AABB (exit cap).  Row 1: the conditioning
     # shift, read by the kernel to move ray origins into the
     # scene-centered frame.
@@ -1431,8 +1490,10 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     # Triangles: Morton-clustered by centroid into their own tables.
     tri = np.full((8, 24), np.nan, np.float32)
     tri_clu = np.zeros((1, 8), np.float32)
+    tri_sup = np.full((8, 8), np.nan, np.float32)
     tri_slab = np.zeros((1, 8), np.float32)
     n_tri_clusters = 0
+    n_tri_supers = 0
     if "tri_v0" in scene_arrays and scene_arrays["tri_v0"].shape[0] > 0:
         v0 = np.asarray(scene_arrays["tri_v0"], np.float32)
         e1 = np.asarray(scene_arrays["tri_e1"], np.float32)
@@ -1468,18 +1529,20 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
             hi = verts[idx].max(axis=(0, 1))
             t_aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]])
                            .astype(np.float32))
-        visit = hint_order(t_aabbs)
-        t_tabs = [t_tabs[i] for i in visit]
-        t_aabbs = [t_aabbs[i] for i in visit]
+        t_tabs, t_aabbs, t_sup_aabbs, n_tri_supers = _super_group(
+            t_tabs, t_aabbs, cluster_size, 24, hint_order)
         n_tri_clusters = len(t_tabs)
         tri = np.concatenate(t_tabs)
         tri_clu = pad8(np.stack(t_aabbs))
+        if n_tri_supers:
+            tri_sup = pad8(np.stack(t_sup_aabbs))
         tri_slab = np.zeros((1, 8), np.float32)
         tri_slab[0, 0:3] = verts.min(axis=(0, 1))
         tri_slab[0, 3:6] = verts.max(axis=(0, 1))
 
-    return (scn, clu, slab, tri, tri_clu, tri_slab,
-            n_global_blocks, n_clusters, n_tri_clusters)
+    return (scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
+            n_global_blocks, n_clusters, n_supers,
+            n_tri_clusters, n_tri_supers)
 
 
 def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
@@ -1487,7 +1550,10 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                   cluster_size: int,
                                   tri_ref=None, tri_clu_ref=None,
                                   tri_slab_ref=None,
-                                  n_tri_clusters: int = 0):
+                                  n_tri_clusters: int = 0,
+                                  sup_ref=None, n_supers: int = 0,
+                                  tri_sup_ref=None,
+                                  n_tri_supers: int = 0):
     """Dynamic-table consensus-culled intersect (see pack_culled_scene).
 
     Same cull semantics as :func:`baked_culled_intersect` (Morton leaf
@@ -1504,6 +1570,17 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     treatment in a second phase; with any triangles the winner carry
     grows to 15 fields (triangle normal + is-triangle flag, the
     :func:`baked_intersect` interface).
+
+    Above ``_DYN_UNROLL_CLUSTERS`` clusters (``n_supers > 0``) the
+    sweep is ROLLED: a ``fori_loop`` over superclusters of
+    ``_DYN_SUPER`` clusters, the whole batch — child cond pass included
+    — inside one ``pl.when`` on the super's prologue-computed AABB
+    cond.  Trace/compile time becomes O(1) in scene size (the flat
+    batch pipeline was Python-unrolled: 50k triangles took >400 s to
+    compile and re-traced per process) and the per-iteration cond cost
+    drops from O(n_clusters) to O(n_supers) + entered supers.  The
+    TPU-native analog of the reference BVH's upper levels
+    (gpu_wavefront_pt/src/bvh.rs) on top of the cluster leaves.
     """
     blocks_per_cluster = cluster_size // 8
     assert cluster_size % 8 == 0
@@ -1710,13 +1787,21 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
         n_conds = n_clusters + n_tri_clusters
 
+        def pad8i(n):
+            return ((n + 7) // 8) * 8
+
+        n_sup_conds = max(1, pad8i(n_supers) + pad8i(n_tri_supers))
+
         def body(*refs):
-            cond_ref = refs[nfld + 1]
+            cond_ref = refs[nfld + 2]
+            supcond_ref = refs[nfld + 3]
             for ref, val in zip(refs[:nfld], carry):
                 ref[:] = val
             t_ref = refs[0]
             clu_cnt = refs[nfld]
+            sup_cnt = refs[nfld + 1]
             clu_cnt[:] = zero
+            sup_cnt[:] = zero
             # Traced zero for the perf probes below: defeats CSE on a
             # duplicated component without changing any value.
             zz = t_ref[0, 0] * 0.0
@@ -1869,28 +1954,130 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                         jax.lax.fori_loop(s, s + ln, cluster_step,
                                           jnp.float32(0))
 
+            def cap_rows(cap):
+                # Per-tile-row broadcasts of the ray/cap planes for the
+                # cluster-major cond passes: sublanes carry 8 AABBs,
+                # lanes carry the 128 rays of one tile row at a time.
+                return [tuple(
+                    jnp.broadcast_to(v[r:r + 1, :], (8, v.shape[1]))
+                    for v in (ox, oy, oz, idx_, idy_, idz_, cap))
+                    for r in range(ox.shape[0])]
+
+            def cond_group(aabb_ref, g0, rows_bc):
+                # Consensus conds for the 8 AABBs at rows [g0, g0+8)
+                # (g0 may be traced) -> (8, 1) int32.  NaN padding rows
+                # compare false on every lane.
+                blk = aabb_ref[pl.ds(g0, 8), :]
+                lo = (blk[:, 0:1], blk[:, 1:2], blk[:, 2:3])
+                hi = (blk[:, 3:4], blk[:, 4:5], blk[:, 5:6])
+                live = None
+                for (ox_r, oy_r, oz_r, ix_r, iy_r, iz_r,
+                     cap_r) in rows_bc:
+                    tx0 = (lo[0] - ox_r) * ix_r
+                    tx1 = (hi[0] - ox_r) * ix_r
+                    tmin = jnp.minimum(tx0, tx1)
+                    tmax = jnp.maximum(tx0, tx1)
+                    ty0 = (lo[1] - oy_r) * iy_r
+                    ty1 = (hi[1] - oy_r) * iy_r
+                    tmin = jnp.maximum(tmin, jnp.minimum(ty0, ty1))
+                    tmax = jnp.minimum(tmax, jnp.maximum(ty0, ty1))
+                    tz0 = (lo[2] - oz_r) * iz_r
+                    tz1 = (hi[2] - oz_r) * iz_r
+                    tmin = jnp.maximum(tmin, jnp.minimum(tz0, tz1))
+                    tmax = jnp.minimum(tmax, jnp.maximum(tz0, tz1))
+                    lv = ((tmin <= tmax) & (tmax > T_MIN)
+                          & (jnp.maximum(tmin, 0.0) < cap_r))
+                    live = lv if live is None else (live | lv)
+                return jnp.max(jnp.where(live, 1, 0).astype(jnp.int32),
+                               axis=1, keepdims=True)
+
+            def sweep_super(n_sup, cond_base, sup_base, table_ref,
+                            row0, block_fn, bpc, aabb_ref, sup_aabb_ref,
+                            sref):
+                # Rolled super-gated sweep (see docstring): trace size
+                # O(_DYN_SUPER), iteration cost O(n_supers) + entered.
+                t_exit = slab_cap(sref)
+                cap0 = jnp.minimum(t_ref[:], t_exit)
+                rows0 = cap_rows(cap0)
+
+                def sup_grp(gi, x):
+                    any8 = cond_group(sup_aabb_ref, gi * 8, rows0)
+                    for j in range(8):
+                        supcond_ref[sup_base + gi * 8 + j] = any8[j, 0]
+                    return x
+
+                jax.lax.fori_loop(0, (n_sup + 7) // 8, sup_grp,
+                                  jnp.float32(0))
+
+                def batch_step(bi, x):
+                    @pl.when(supcond_ref[sup_base + bi] > 0)
+                    def _():
+                        sup_cnt[:] = sup_cnt[:] + 1.0
+                        # Child conds from the RUNNING cap (tightened
+                        # by every earlier entered super): with supers
+                        # in front-to-back order an early hit still
+                        # culls the clusters behind it.
+                        cap = jnp.minimum(t_ref[:], t_exit)
+                        rb = cap_rows(cap)
+                        k0 = bi * _DYN_SUPER
+                        for gi in range(_DYN_SUPER // 8):
+                            any8 = cond_group(aabb_ref, k0 + gi * 8, rb)
+                            for j in range(8):
+                                cond_ref[cond_base + k0
+                                         + gi * 8 + j] = any8[j, 0]
+                        for j in range(_DYN_SUPER):
+                            @pl.when(cond_ref[cond_base + k0 + j] > 0)
+                            def _(j=j):
+                                clu_cnt[:] = clu_cnt[:] + 1.0
+                                vals = tuple(r[:] for r in refs[:nfld])
+                                for b in range(bpc):
+                                    blk = table_ref[
+                                        pl.ds(row0
+                                              + (k0 + j) * cluster_size
+                                              + b * 8, 8), :]
+                                    vals = block_fn(blk, vals, ox, oy,
+                                                    oz, dx, dy, dz)
+                                for ref, val in zip(refs, vals):
+                                    ref[:] = val
+                    return x
+
+                jax.lax.fori_loop(0, n_sup, batch_step, jnp.float32(0))
+
             if n_clusters:
-                sweep(n_clusters, 0, scn_ref, n_global_blocks * 8,
-                      sphere_block_h, blocks_per_cluster, clu_ref,
-                      slab_ref)
+                if n_supers:
+                    sweep_super(n_supers, 0, 0, scn_ref,
+                                n_global_blocks * 8, sphere_block_h,
+                                blocks_per_cluster, clu_ref, sup_ref,
+                                slab_ref)
+                else:
+                    sweep(n_clusters, 0, scn_ref, n_global_blocks * 8,
+                          sphere_block_h, blocks_per_cluster, clu_ref,
+                          slab_ref)
             if has_tris:
-                sweep(n_tri_clusters, n_clusters, tri_ref, 0,
-                      tri_block, blocks_per_cluster, tri_clu_ref,
-                      tri_slab_ref)
-            return tuple(r[:] for r in refs[:nfld + 1]) + (zero,)
+                if n_tri_supers:
+                    sweep_super(n_tri_supers, n_clusters,
+                                pad8i(n_supers), tri_ref, 0, tri_block,
+                                blocks_per_cluster, tri_clu_ref,
+                                tri_sup_ref, tri_slab_ref)
+                else:
+                    sweep(n_tri_clusters, n_clusters, tri_ref, 0,
+                          tri_block, blocks_per_cluster, tri_clu_ref,
+                          tri_slab_ref)
+            return tuple(r[:] for r in refs[:nfld + 2])
 
         out = pl.run_scoped(
             body,
-            *[pltpu.VMEM(shape, jnp.float32) for _ in range(nfld + 1)],
+            *[pltpu.VMEM(shape, jnp.float32) for _ in range(nfld + 2)],
             pltpu.SMEM((n_conds,), jnp.int32),
+            pltpu.SMEM((n_sup_conds,), jnp.int32),
         )
-        # (nfld fields, clusters_entered, zeros) -> interface order
-        # (..., supers_entered=0, clusters_entered).
+        # (nfld fields, clusters_entered, supers_entered) -> interface
+        # order (..., supers_entered, clusters_entered).
         return out[:nfld] + (out[nfld + 1], out[nfld])
 
     intersect.returns_cull_stats = True
     intersect.has_textures = textured
-    intersect.n_supers = 0
+    intersect.n_supers = n_supers + n_tri_supers
     intersect.n_clusters = n_clusters
     return intersect
 
@@ -2370,20 +2557,23 @@ def fused_render_baked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_global_blocks", "n_clusters", "n_tri_clusters",
+    static_argnames=("n_global_blocks", "n_clusters", "n_supers",
+                     "n_tri_clusters", "n_tri_supers",
                      "cluster_size", "rows", "interpret", "rotate",
                      "rotate_cols", "rr_start", "rr_floor", "clamp",
                      "sampler", "image_luts"),
 )
 def fused_render_dynculled(
-    scn, clu, slab,     # pack_culled_scene sphere tables (VMEM inputs)
-    tri, tri_clu, tri_slab,  # pack_culled_scene triangle tables
+    scn, clu, sup, slab,  # pack_culled_scene sphere tables (VMEM inputs)
+    tri, tri_clu, tri_sup, tri_slab,  # pack_culled_scene triangle tables
     salts,              # (4,) u32
     cam_params,         # (24,) f32
     pix, xs, ys, valid, soff,  # (rows_total, 128)
     n_global_blocks: int = 1,
     n_clusters: int = 0,
+    n_supers: int = 0,
     n_tri_clusters: int = 0,
+    n_tri_supers: int = 0,
     cluster_size: int = 16,
     rows: int = 8,
     interpret: bool = False,
@@ -2414,14 +2604,16 @@ def fused_render_dynculled(
     smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
-    def kernel(scn_ref, clu_ref, slab_ref, tri_ref, tri_clu_ref,
-               tri_slab_ref, salt_ref, cam_ref,
+    def kernel(scn_ref, clu_ref, sup_ref, slab_ref, tri_ref, tri_clu_ref,
+               tri_sup_ref, tri_slab_ref, salt_ref, cam_ref,
                px_ref, xs_ref, ys_ref, valid_ref, soff_ref,
                rad_r_o, rad_g_o, rad_b_o, rays_o):
         intersect = make_dynamic_culled_intersect(
             scn_ref, clu_ref, slab_ref, n_global_blocks, n_clusters,
             cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
-            tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters)
+            tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters,
+            sup_ref=sup_ref, n_supers=n_supers,
+            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers)
         if image_luts:
             intersect.image_textures = tuple(
                 (cx, cy, cz, inv_r,
@@ -2436,13 +2628,14 @@ def fused_render_dynculled(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full, full, full, full, full, full, smem_i, full,
+        in_specs=[full, full, full, full, full, full, full, full,
+                  smem_i, full,
                   tile_spec, tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
     )(
-        scn, clu, slab, tri, tri_clu, tri_slab,
+        scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
         pix, xs, ys, valid, soff,

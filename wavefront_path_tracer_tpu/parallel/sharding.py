@@ -109,10 +109,10 @@ def render_samples_sharded(
             _concrete_eye, _dyn_tables, _static_image_luts)
 
         # closure-captured, replicated
-        dyn, (ngb, ncl, ntc) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
-        dyn_static = (ngb, ncl, ntc, clusters,
+        dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
                       _static_image_luts(scene_arrays, config.tex_lut_max))
 
     # Per-device trace over its own pixel slab: engines consume a pixel
