@@ -168,7 +168,7 @@ def test_tri_super_sweep_matches_oracle():
 
     from wavefront_path_tracer_tpu.utils.image import rmse
 
-    v, f = torus_knot(1400)
+    v, f = torus_knot(1120)
     b = MeshSceneBuilder()
     ground = b.lambertian([0.5, 0.5, 0.5])
     b.sphere([0.0, -1000.0, 0.0], 1000.0, ground)
@@ -180,8 +180,8 @@ def test_tri_super_sweep_matches_oracle():
     cc.camera = cc.camera.look_at([0.0, 1.5, 4.0], [0.0, 0.0, 0.0])
     cc.vfov_deg = 45.0
     cc.defocus_angle_deg = 0.0
-    cfg = CFG.replace(width=48, height=32, samples_per_pixel=2,
-                      samples_per_frame=2, max_bounces=6)
+    cfg = CFG.replace(width=40, height=24, samples_per_pixel=2,
+                      samples_per_frame=2, max_bounces=5)
     mk = render(scene, cc, cfg.replace(engine="megakernel"),
                 triangles=tris)
     fz = render(scene, cc,
