@@ -239,6 +239,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(requires that many attached devices)")
     p.add_argument("--all", action="store_true",
                    help="sweep engines/intersectors")
+    p.add_argument("--no-mesh-row", action="store_true",
+                   help="skip the tracked mesh-scene sub-record")
     p.add_argument("--worker", action="store_true",
                    help=argparse.SUPPRESS)  # internal: run the bench here
     p.add_argument("--attempts", type=int, default=3,
@@ -325,6 +327,22 @@ def worker_main(args) -> None:
         out["utilization_note"] = (
             "primitive-pair tests issued / measured 146.3 Gpairs/s VPU "
             "issue ceiling (exp/pair_ceiling.py, slope-timed)")
+    if (not args.no_mesh_row and not args.all and not mesh_spec
+            and args.scene == "book_one_final"):
+        # Tracked mesh row (BASELINE measurement config 5: OBJ mesh
+        # scene): catches large-scene regressions the sphere headline
+        # can't see.  Crash-proof — a mesh failure must never cost the
+        # headline record; the error is recorded in its place.
+        try:
+            m = bench_once("mesh_terrain", 800, 448, 32, "fused",
+                           "bruteforce", args.max_bounces, clusters=16)
+            print(f"mesh row {m['config']}: {m['mrays_per_s']:.2f} "
+                  f"Mrays/s", file=sys.stderr)
+            out["mesh"] = {"config": f"{m['config']}, {m['scene']}",
+                           "value": round(m["mrays_per_s"], 2),
+                           "unit": "Mrays/s"}
+        except Exception as e:
+            out["mesh"] = {"error": f"mesh row failed: {e}"}
     print(json.dumps(out))
 
 
@@ -394,7 +412,8 @@ def orchestrate(args, argv) -> None:
         with open(LAST_GOOD_PATH) as f:
             lg = json.load(f)
         rec.update({k: lg[k] for k in
-                    ("metric", "value", "unit", "vs_baseline") if k in lg})
+                    ("metric", "value", "unit", "vs_baseline", "mesh")
+                    if k in lg})
         source = (f"last-known-good from {LAST_GOOD_PATH} "
                   f"({lg.get('recorded_at', 'undated')})")
     except Exception as e:

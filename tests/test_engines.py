@@ -175,3 +175,30 @@ def test_bounce_histogram(book_cover_scene):
     # In this downward-looking view every primary ray hits the ground
     # dome, but paths die off over the bounce budget.
     assert hist[-1] < hist[0]
+
+
+def test_bvh_on_tpu_backend_warns(book_cover_scene, monkeypatch):
+    """The XLA BVH path is a measured 1000x performance trap on TPU
+    (BENCHMARKS.md engine table): asking wavefront/megakernel for
+    intersector='bvh' on a non-CPU backend must warn up front."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cc = _cover_camera()
+    with pytest.warns(RuntimeWarning, match="performance trap"):
+        Renderer(book_cover_scene, cc, BASE.replace(
+            engine="wavefront", intersector="bvh"))
+    with pytest.warns(RuntimeWarning, match="performance trap"):
+        Renderer(book_cover_scene, cc, BASE.replace(
+            engine="megakernel", intersector="bvh"))
+
+
+def test_bvh_on_cpu_backend_does_not_warn(book_cover_scene):
+    """On CPU (the oracle backend) the BVH engines are legitimate."""
+    import warnings as _warnings
+
+    cc = _cover_camera()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        Renderer(book_cover_scene, cc, BASE.replace(
+            engine="wavefront", intersector="bvh"))

@@ -383,3 +383,79 @@ def test_stage_timing_probes(book_cover_scene):
                      jnp.asarray(cam.view_matrix()),
                      jnp.asarray(cam.inverse_projection(32, 16)),
                      cfg.replace(intersector="bruteforce"), n_samples=2)
+
+
+def _bubble_scene(tmp_path):
+    """RTIOW hollow-glass-bubble scene via the scene-file path (the
+    one user-facing way to get a negative radius)."""
+    import json
+
+    from wavefront_path_tracer_tpu.scene.file import load_scene_file
+
+    doc = {
+        "spheres": [
+            {"center": [0, -100.5, -1], "radius": 100,
+             "material": {"type": "lambertian", "albedo": [0.5, 0.5, 0.5]}},
+            {"center": [0, 0, -1.2], "radius": 0.5,
+             "material": {"type": "lambertian", "albedo": [0.1, 0.2, 0.5]}},
+            # Hollow glass bubble: outer shell + inside-out inner.
+            {"center": [-1, 0, -1], "radius": 0.5,
+             "material": {"type": "dielectric", "ior": 1.5}},
+            {"center": [-1, 0, -1], "radius": -0.4,
+             "material": {"type": "dielectric", "ior": 1.5}},
+        ],
+    }
+    p = tmp_path / "bubble.json"
+    p.write_text(json.dumps(doc))
+    return doc, load_scene_file(str(p))
+
+
+def test_negative_radius_parity(tmp_path):
+    """The RTIOW hollow-bubble trick (negative radius = inside-out
+    sphere, normal flipped) must agree across ALL engines: the XLA
+    engines used to treat r < 0 as padding and never hit the bubble
+    while the fused baked path did (round-3 advisor finding, RMSE 0.09
+    divergence).  Geometry is that of |r|; the flipped normal makes a
+    dielectric shell hollow."""
+    import json
+
+    from wavefront_path_tracer_tpu.scene.file import load_scene_file
+
+    doc, (scene, tris, _) = _bubble_scene(tmp_path)
+    assert tris is None
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=8, samples_per_frame=8)
+    mega = render(scene, cc, cfg.replace(engine="megakernel"))
+    wave = render(scene, cc, cfg.replace(engine="wavefront"))
+    np.testing.assert_array_equal(mega.accumulated, wave.accumulated)
+    fused = render(scene, cc, cfg.replace(
+        engine="fused", intersector="baked"))
+    _statistically_equal(fused, mega)
+    # The bubble must actually be visible: against a no-bubble render
+    # the shell region differs (guards against 'parity by both engines
+    # ignoring r<0').
+    solid_doc = {"spheres": doc["spheres"][:3]}
+    sp = tmp_path / "solid.json"
+    sp.write_text(json.dumps(solid_doc))
+    solid_scene, _, _ = load_scene_file(str(sp))
+    solid = render(solid_scene, cc, cfg.replace(engine="megakernel"))
+    assert rmse(solid.image, mega.image) > 1e-3
+
+
+def test_negative_radius_dynamic_culled_parity(tmp_path):
+    """Same hollow-bubble scene through the fused *dynamic culled*
+    path (VMEM tables carry 1/r, so the sign flows through the packed
+    winner), plus the BVH oracle (|r| AABBs)."""
+    _, (scene, _, _) = _bubble_scene(tmp_path)
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=8, samples_per_frame=8)
+    mega = render(scene, cc, cfg.replace(engine="megakernel"))
+    dyn = render(scene, cc, cfg.replace(
+        engine="fused", intersector="bruteforce", baked_clusters=16))
+    _statistically_equal(dyn, mega)
+    # BVH vs bruteforce is statistical, not bitwise (different
+    # traversal order -> different float summation; see
+    # test_engines.test_bvh_vs_bruteforce_statistical).
+    bvh = render(scene, cc, cfg.replace(
+        engine="megakernel", intersector="bvh"))
+    assert rmse(bvh.image, mega.image) < 1e-3

@@ -50,7 +50,11 @@ def _sphere_hit_t(origin, direction, centers, radii):
     t1 = (-b - sq) * inv_a
     t2 = (-b + sq) * inv_a
     t = jnp.where(t1 > T_MIN, t1, jnp.where(t2 > T_MIN, t2, T_FAR))
-    valid = (disc >= 0.0) & (radii[None, :] > 0.0)  # r<=0 marks padding
+    # r == 0 marks padding; NEGATIVE radii are real inside-out spheres
+    # (the RTIOW hollow-bubble modeling trick: same geometry as |r|,
+    # normal flipped in hit resolution) and must intersect like any
+    # other — the quadratic only sees r*r.
+    valid = (disc >= 0.0) & (radii[None, :] != 0.0)
     return jnp.where(valid, t, T_FAR)
 
 

@@ -912,9 +912,10 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
     if rest.size:
         order = rest[_morton_order(centers[rest])]
+        # |r|: negative (inside-out) radii span the same box.
         sph_hier = build_hierarchy(
-            centers[order] - radii[order, None],
-            centers[order] + radii[order, None], rows(order))
+            centers[order] - np.abs(radii[order, None]),
+            centers[order] + np.abs(radii[order, None]), rows(order))
     else:
         sph_hier = ([], [], None)
 
@@ -1457,8 +1458,9 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     for start in range(0, order.size, cluster_size):
         idx = order[start:start + cluster_size]
         clu_tabs.append(rows(idx, cluster_size))
-        lo = (centers[idx] - radii[idx, None]).min(axis=0)
-        hi = (centers[idx] + radii[idx, None]).max(axis=0)
+        # |r|: a negative (inside-out) radius spans the same box.
+        lo = (centers[idx] - np.abs(radii[idx, None])).min(axis=0)
+        hi = (centers[idx] + np.abs(radii[idx, None])).max(axis=0)
         aabbs.append(np.concatenate([lo, hi, [0.0, 0.0]]).astype(np.float32))
     clu_tabs, aabbs, sup_aabbs, n_supers = _super_group(
         clu_tabs, aabbs, cluster_size, ncols, hint_order)
@@ -1484,8 +1486,10 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     slab = np.zeros((2, 8), np.float32)
     slab[1, 0:3] = sh
     if order.size:
-        slab[0, 0:3] = (centers[order] - radii[order, None]).min(axis=0)
-        slab[0, 3:6] = (centers[order] + radii[order, None]).max(axis=0)
+        slab[0, 0:3] = (centers[order]
+                        - np.abs(radii[order, None])).min(axis=0)
+        slab[0, 3:6] = (centers[order]
+                        + np.abs(radii[order, None])).max(axis=0)
 
     # Triangles: Morton-clustered by centroid into their own tables.
     tri = np.full((8, 24), np.nan, np.float32)
@@ -1996,20 +2000,24 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                             sref):
                 # Rolled super-gated sweep (see docstring): trace size
                 # O(_DYN_SUPER), iteration cost O(n_supers) + entered.
+                # Super conds are computed in 8-super batches *inside*
+                # the walk, each batch from the RUNNING cap (round-3
+                # advisor finding: a cap0 prologue left supers behind
+                # an early hit entered; this refresh costs the same
+                # number of batched cond_group calls).  NaN padding
+                # AABBs in the last group compare false -> never live.
                 t_exit = slab_cap(sref)
-                cap0 = jnp.minimum(t_ref[:], t_exit)
-                rows0 = cap_rows(cap0)
 
-                def sup_grp(gi, x):
-                    any8 = cond_group(sup_aabb_ref, gi * 8, rows0)
+                def grp_step(gi, x):
+                    cap = jnp.minimum(t_ref[:], t_exit)
+                    any8 = cond_group(sup_aabb_ref, gi * 8, cap_rows(cap))
                     for j in range(8):
                         supcond_ref[sup_base + gi * 8 + j] = any8[j, 0]
+                    for j in range(8):
+                        batch_step(gi * 8 + j)
                     return x
 
-                jax.lax.fori_loop(0, (n_sup + 7) // 8, sup_grp,
-                                  jnp.float32(0))
-
-                def batch_step(bi, x):
+                def batch_step(bi):
                     @pl.when(supcond_ref[sup_base + bi] > 0)
                     def _():
                         sup_cnt[:] = sup_cnt[:] + 1.0
@@ -2039,9 +2047,9 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                                     oz, dx, dy, dz)
                                 for ref, val in zip(refs, vals):
                                     ref[:] = val
-                    return x
 
-                jax.lax.fori_loop(0, n_sup, batch_step, jnp.float32(0))
+                jax.lax.fori_loop(0, (n_sup + 7) // 8, grp_step,
+                                  jnp.float32(0))
 
             if n_clusters:
                 if n_supers:
@@ -2448,6 +2456,297 @@ def _persistent_impl(
                                                     final[NRAYS + 3],
                                                     0.0))))
     rays_o[:] = jnp.where(row_id == 0, stats, 0.0)
+
+
+def _segment_impl(
+    intersect_fn,
+    salt_ref,      # (1, 4) u32 SMEM: frame, max_bounces, k_iters, unused
+    pix_ref,       # (rows, 128) u32 pixel id (RNG stream identity)
+    samp_ref,      # (rows, 128) u32 sample index
+    bnc_ref,       # (rows, 128) f32 bounce counter (f32: u32 planes
+                   # round-trip through jnp.take in the host-side sort)
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tr_ref, tg_ref, tb_ref,
+    ar_ref, ag_ref, ab_ref,   # per-ray accumulated radiance (in)
+    alive_ref,     # (rows, 128) f32
+    o_bnc, o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
+    o_tr, o_tg, o_tb, o_ar, o_ag, o_ab, o_alive,
+    rays_o,        # (rows, 128) f32 aux stats plane (see _persistent_impl)
+    rr_start: int = 0,
+    rr_floor: float = 0.05,
+    clamp: float = 0.0,
+    sampler: str = "random",
+):
+    """One re-clustering *segment*: advance every live ray by up to
+    ``k_iters`` bounces, then hand the state back to the host-side sort.
+
+    The persistent kernel (:func:`_persistent_impl`) binds a lane to a
+    pixel forever, so after the first diffuse bounce a tile's rays
+    decohere and whole-tile consensus culling stops skipping anything —
+    the measured collapse on large scenes (50k-tri knot: 0.31 Mrays/s,
+    most clusters entered every iteration).  The segmented engine
+    (models/fused.py ``recluster``) re-sorts live rays by direction
+    octant x origin Morton cell between segments, so lanes entering a
+    tile again share a frustum.  This kernel is the in-between: the
+    same intersect/shade/miss math as _persistent_impl (identical
+    per-(pixel,sample,bounce) RNG streams), but state-in/state-out with
+    NO in-kernel raygen or sample restart, and a whole-tile early exit
+    the moment every lane is dead (a sorted-dead tile costs one loop
+    cond).  The reference analog is the extend/shade wavefront with its
+    queue compaction (path_tracer.rs:279-371) — here the queue is the
+    global ray state and compaction doubles as coherence recovery.
+    """
+    frame = salt_ref[0, 0]
+    max_bounces = salt_ref[0, 1]
+    k_iters = salt_ref[0, 2]
+    pix = pix_ref[:]
+    sample = samp_ref[:]
+    shape = pix.shape
+    has_stats = getattr(intersect_fn, "returns_cull_stats", False)
+    has_tex = getattr(intersect_fn, "has_textures", False)
+    u0 = jnp.zeros(shape, jnp.uint32)
+
+    state0 = (
+        _u32(0),                                # segment iteration
+        bnc_ref[:].astype(jnp.uint32),          # bounce
+        ox_ref[:], oy_ref[:], oz_ref[:],
+        dx_ref[:], dy_ref[:], dz_ref[:],
+        tr_ref[:], tg_ref[:], tb_ref[:],
+        ar_ref[:], ag_ref[:], ab_ref[:],
+        alive_ref[:],
+        jnp.float32(0.0),                       # live rays advanced
+        jnp.float32(0.0),                       # loop iterations
+        jnp.zeros(shape, jnp.float32),          # supers entered
+        jnp.zeros(shape, jnp.float32),          # clusters entered
+    )
+
+    def cond(c):
+        it, alive_f = c[0], c[14]
+        return (it < k_iters) & (jnp.sum(alive_f) > 0.0)
+
+    def body(c):
+        (it, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+         acc_r, acc_g, acc_b, alive_f, nrays, niter, sup_acc, clu_acc) = c
+        alive = alive_f > 0
+        nrays = nrays + jnp.sum(jnp.where(alive, 1.0, 0.0))
+
+        if "alive" in inspect.signature(intersect_fn).parameters:
+            res = intersect_fn(ox, oy, oz, dx, dy, dz, alive=alive)
+        else:
+            res = intersect_fn(ox, oy, oz, dx, dy, dz)
+        (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
+         b_fuzz, b_ior, b_mt) = res[:11]
+        if has_stats:
+            sup_acc = sup_acc + res[-2]
+            clu_acc = clu_acc + res[-1]
+            res = res[:-2]
+        tri_fields = res[11:15] if len(res) > 11 else (None, None, None, None)
+        tex_fields = res[15:19] if has_tex else None
+        niter = niter + 1.0
+
+        hit = (best_t < T_FAR) & alive
+        missed = alive & ~hit
+        sky_a = 0.5 * (dy + 1.0)
+        con_r = tr * ((1.0 - sky_a) + sky_a * 0.5)
+        con_g = tg * ((1.0 - sky_a) + sky_a * 0.7)
+        con_b = tb * ((1.0 - sky_a) + sky_a * 1.0)
+        if clamp > 0.0:
+            con_r = jnp.minimum(con_r, clamp)
+            con_g = jnp.minimum(con_g, clamp)
+            con_b = jnp.minimum(con_b, clamp)
+        acc_r = acc_r + jnp.where(missed, con_r, 0.0)
+        acc_g = acc_g + jnp.where(missed, con_g, 0.0)
+        acc_b = acc_b + jnp.where(missed, con_b, 0.0)
+
+        p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
+            pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
+            best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
+            *tri_fields, sampler=sampler)
+
+        if tex_fields is not None:
+            a2r, a2g, a2b, t_s = tex_fields
+            sel = (jnp.sin(t_s * p_x) * jnp.sin(t_s * p_y)
+                   * jnp.sin(t_s * p_z)) < 0.0
+            b_ar = jnp.where(sel, a2r, b_ar)
+            b_ag = jnp.where(sel, a2g, b_ag)
+            b_ab = jnp.where(sel, a2b, b_ab)
+        img_texs = getattr(intersect_fn, "image_textures", ())
+        if img_texs:
+            b_ar, b_ag, b_ab = _apply_image_textures(
+                img_texs, hit, b_cx, b_cy, b_cz, b_inv_r, tri_fields[3],
+                p_x, p_y, p_z, b_ar, b_ag, b_ab)
+
+        ox = jnp.where(hit, p_x, ox)
+        oy = jnp.where(hit, p_y, oy)
+        oz = jnp.where(hit, p_z, oz)
+        dx = jnp.where(hit, ndx, dx)
+        dy = jnp.where(hit, ndy, dy)
+        dz = jnp.where(hit, ndz, dz)
+        tr = jnp.where(hit, tr * b_ar, tr)
+        tg = jnp.where(hit, tg * b_ag, tg)
+        tb = jnp.where(hit, tb * b_ab, tb)
+        bounce = bounce + _u32(1)
+        if rr_start:
+            rrb = _jenkins(pix ^ _jenkins(jnp.broadcast_to(frame, shape)))
+            st = _jenkins((rrb + sample * _u32(_SAMPLE_STRIDE)
+                           + bounce * _u32(_BOUNCE_STRIDE))
+                          ^ _u32(_RR_SALT))
+            st, u_rr = _next_f32(st)
+            keep_p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
+                              jnp.float32(rr_floor), 1.0)
+            active = hit & (bounce >= _u32(rr_start))
+            survive = (~active) | (u_rr < keep_p)
+            comp = active & survive
+            inv_p = 1.0 / keep_p
+            tr = jnp.where(comp, tr * inv_p, tr)
+            tg = jnp.where(comp, tg * inv_p, tg)
+            tb = jnp.where(comp, tb * inv_p, tb)
+            hit = hit & survive
+        still_alive = hit & (bounce < max_bounces)
+        return (it + _u32(1), bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                acc_r, acc_g, acc_b,
+                jnp.where(still_alive, 1.0, 0.0),
+                nrays, niter, sup_acc, clu_acc)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    (_, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+     acc_r, acc_g, acc_b, alive_f, nrays, niter, sup_acc, clu_acc) = final
+    o_bnc[:] = bounce.astype(jnp.float32)
+    o_ox[:] = ox
+    o_oy[:] = oy
+    o_oz[:] = oz
+    o_dx[:] = dx
+    o_dy[:] = dy
+    o_dz[:] = dz
+    o_tr[:] = tr
+    o_tg[:] = tg
+    o_tb[:] = tb
+    o_ar[:] = acc_r
+    o_ag[:] = acc_g
+    o_ab[:] = acc_b
+    o_alive[:] = alive_f
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    stats = jnp.where(col_id == 0, nrays,
+                      jnp.where(col_id == 1, niter,
+                                jnp.where(col_id == 2, sup_acc,
+                                          jnp.where(col_id == 3,
+                                                    clu_acc, 0.0))))
+    rays_o[:] = jnp.where(row_id == 0, stats, 0.0)
+
+
+_SEG_STATE = 14  # bounce, o xyz, d xyz, throughput rgb, radiance rgb, alive
+
+
+def _segment_call(kernel, pix, samp, state, rows, interpret):
+    total_rows = pix.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+    tile_spec = pl.BlockSpec((rows, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem_i] + [tile_spec] * (2 + _SEG_STATE),
+        out_specs=[tile_spec] * (_SEG_STATE + 1),
+        out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)]
+        * (_SEG_STATE + 1),
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baked_fn", "rows", "interpret", "rr_start",
+                     "rr_floor", "clamp", "sampler"))
+def fused_segment_baked(
+    baked_fn,
+    salts,          # (4,) u32: frame, max_bounces, k_iters, 0
+    pix, samp,      # (rows_total, 128) u32
+    state,          # tuple of _SEG_STATE (rows_total, 128) f32 planes
+    rows: int = 8,
+    interpret: bool = False,
+    rr_start: int = 0,
+    rr_floor: float = 0.05,
+    clamp: float = 0.0,
+    sampler: str = "random",
+):
+    """One segment with the scene baked into the kernel.  Returns
+    (state', rays_aux)."""
+
+    def kernel(*refs):
+        _segment_impl(baked_fn, *refs, rr_start=rr_start,
+                      rr_floor=rr_floor, clamp=clamp, sampler=sampler)
+
+    outs = _segment_call(kernel, pix, samp, state, rows, interpret)(
+        jnp.reshape(salts.astype(jnp.uint32), (1, 4)), pix, samp, *state)
+    return tuple(outs[:_SEG_STATE]), outs[_SEG_STATE]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_global_blocks", "n_clusters", "n_supers",
+                     "n_tri_clusters", "n_tri_supers", "cluster_size",
+                     "rows", "interpret", "rr_start", "rr_floor", "clamp",
+                     "sampler", "image_luts"))
+def fused_segment_dynculled(
+    scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
+    salts, pix, samp, state,
+    n_global_blocks: int = 1,
+    n_clusters: int = 0,
+    n_supers: int = 0,
+    n_tri_clusters: int = 0,
+    n_tri_supers: int = 0,
+    cluster_size: int = 16,
+    rows: int = 8,
+    interpret: bool = False,
+    rr_start: int = 0,
+    rr_floor: float = 0.05,
+    clamp: float = 0.0,
+    sampler: str = "random",
+    image_luts: tuple = (),
+):
+    """One segment with the dynamic consensus-culled intersector."""
+
+    def kernel(scn_ref, clu_ref, sup_ref, slab_ref, tri_ref, tri_clu_ref,
+               tri_sup_ref, tri_slab_ref, *refs):
+        intersect = make_dynamic_culled_intersect(
+            scn_ref, clu_ref, slab_ref, n_global_blocks, n_clusters,
+            cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
+            tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters,
+            sup_ref=sup_ref, n_supers=n_supers,
+            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers)
+        if image_luts:
+            intersect.image_textures = tuple(
+                (cx, cy, cz, inv_r,
+                 np.frombuffer(raw, np.float32).reshape(h, w, 3))
+                for cx, cy, cz, inv_r, h, w, raw in image_luts)
+        _segment_impl(intersect, *refs, rr_start=rr_start,
+                      rr_floor=rr_floor, clamp=clamp, sampler=sampler)
+
+    total_rows = pix.shape[0]
+    assert total_rows % rows == 0
+    grid = (total_rows // rows,)
+    tile_spec = pl.BlockSpec((rows, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full] * 8 + [smem_i] + [tile_spec] * (2 + _SEG_STATE),
+        out_specs=[tile_spec] * (_SEG_STATE + 1),
+        out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)]
+        * (_SEG_STATE + 1),
+        interpret=interpret,
+    )(
+        scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
+        jnp.reshape(salts.astype(jnp.uint32), (1, 4)), pix, samp, *state)
+    return tuple(outs[:_SEG_STATE]), outs[_SEG_STATE]
 
 
 @functools.partial(

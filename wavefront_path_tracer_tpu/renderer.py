@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,6 +167,24 @@ class Renderer:
                 "compile) with intersector='bruteforce' and "
                 "baked_clusters > 0; or use engine='wavefront'/'megakernel'"
             )
+        if (config.intersector == "bvh"
+                and config.engine in ("wavefront", "megakernel")
+                and jax.default_backend() != "cpu"):
+            # The XLA BVH engines exist as CPU-runnable oracles: on TPU
+            # the per-lane stack traversal gathers run at 0.01-0.03
+            # Mrays/s (BENCHMARKS.md engine table), ~1000x below the
+            # fused engine.  A user following the reference architecture
+            # (gpu_wavefront_pt/shaders/extend.wgsl stack BVH) should be
+            # told before a render silently takes hours.
+            warnings.warn(
+                f"intersector='bvh' on the {config.engine} engine is a "
+                "measured performance trap on TPU (0.01-0.03 Mrays/s, "
+                "~1000x below engine='fused'): per-lane stack-BVH "
+                "gathers do not vectorize here. Use engine='fused' "
+                "(intersector='baked' or 'bruteforce' with "
+                "baked_clusters>0), or intersector='bruteforce' on this "
+                "engine. The BVH path is intended as a CPU oracle.",
+                RuntimeWarning, stacklevel=2)
         self.config = config
         self.camera = camera
         # Optional utils.profiling.KernelTimer: per-kernel wall times on

@@ -60,8 +60,13 @@ class Scene(NamedTuple):
         return self.table_albedo.shape[0]
 
     def aabbs(self):
-        """Per-sphere AABBs (reference sphere.rs:22-26)."""
-        r = self.radii[:, None]
+        """Per-sphere AABBs (reference sphere.rs:22-26).
+
+        Deliberate deviation: |r|, not r — a negative (inside-out)
+        radius would give the reference an inverted, never-hit AABB;
+        here such spheres are real geometry (ops/hit.py normal flip).
+        """
+        r = np.abs(self.radii)[:, None]
         return self.centers - r, self.centers + r
 
     @property

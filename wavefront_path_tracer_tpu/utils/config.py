@@ -80,6 +80,21 @@ class RenderConfig:
     # answer to incoherent bounce rays, which defeat front-to-back
     # ordering.  Results identical up to float-tie iteration order.
     winner_hint: bool = False
+    # Fused engine: ray-coherence re-clustering segment length (0 =
+    # off).  The persistent kernel binds a lane to a pixel for a whole
+    # sample, so after the first diffuse bounce a tile's rays decohere
+    # and whole-tile consensus culling degenerates (50k-tri knot: most
+    # clusters entered every iteration).  With K > 0 each sample runs
+    # as SEGMENTS: K bounces in-kernel, then live rays are re-sorted by
+    # direction octant x origin Morton cell (dead rays to the back), so
+    # a tile's lanes share a frustum again.  Segment lengths double
+    # after the second segment (coherence matters most while most rays
+    # live), so sorts are O(log(max_bounces / K)) per sample.  Identical
+    # per-(pixel,sample,bounce) RNG streams — parity with the other
+    # engines is unchanged.  Measured win on incoherent scenes
+    # (BENCHMARKS.md round 4); a loss on small coherent scenes where
+    # culling already skips little.
+    recluster: int = 0
     # Multi-chip: number of devices to shard pixels over (1 = single chip).
     num_devices: int = 1
     # Russian roulette: 0 disables (default — matches the reference's
@@ -150,6 +165,15 @@ class RenderConfig:
             raise ValueError(
                 f"baked_clusters must be >= -1, got {self.baked_clusters} "
                 "(-1 = auto, 0 = no culling, N = leaf cluster size)")
+        if self.recluster < 0:
+            raise ValueError(
+                f"recluster must be >= 0, got {self.recluster} "
+                "(0 disables segment re-sorting)")
+        if self.recluster > 0 and self.winner_hint:
+            raise ValueError(
+                "recluster and winner_hint are mutually exclusive: the "
+                "segment kernel carries no shortlist plane (re-sorting "
+                "replaces temporal hints as the coherence mechanism)")
         if self.winner_hint and self.baked_clusters == 0:
             raise ValueError(
                 "winner_hint requires baked_clusters > 0 (the shortlist "
