@@ -41,10 +41,12 @@ def main():
     cc.camera = cc.camera.look_at([0.0, 1.5, 4.0], [0.0, 0.0, 0.0])
     cc.vfov_deg = 40.0
     cc.defocus_angle_deg = 0.0
-    cfg = RenderConfig(width=w, height=h, samples_per_pixel=spp,
-                       samples_per_frame=spp, max_bounces=50,
-                       engine="fused", intersector="bruteforce",
-                       baked_clusters=16, **extra)
+    base = dict(width=w, height=h, samples_per_pixel=spp,
+                samples_per_frame=spp, max_bounces=50,
+                engine="fused", intersector="bruteforce",
+                baked_clusters=16)
+    base.update(extra)
+    cfg = RenderConfig(**base)
     arrays = prepare_scene(scene, cfg, triangles=triangles)
     view = jnp.asarray(cc.view_matrix())
     inv_proj = jnp.asarray(cc.inverse_projection(w, h))

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused/baked culled: prepass-test each lane's "
                         "last winner cluster to tighten the cull cap "
                         "for incoherent bounce rays")
+    p.add_argument("--recluster", type=int, default=0, metavar="K",
+                   help="fused: re-sort live rays by direction octant x "
+                        "origin Morton cell every K bounces (segment "
+                        "lengths double after the second), restoring "
+                        "whole-tile cull consensus for incoherent "
+                        "bounce rays — the big-scene lever (0 = off)")
     p.add_argument("--block-tiles", type=int, default=32,
                    help="fused: NxN pixel blocks per ray tile for cull "
                         "coherence (0 = linear pixel order)")
@@ -308,6 +314,7 @@ def main(argv=None) -> int:
         engine=args.engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=args.block_tiles,
         winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
+        recluster=args.recluster,
         sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
         clamp=args.clamp, stop_delta=args.until_delta,

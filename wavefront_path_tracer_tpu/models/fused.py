@@ -35,15 +35,19 @@ import numpy as np
 
 from collections import OrderedDict
 
+from wavefront_path_tracer_tpu.ops import pallas_kernels as _pk
 from wavefront_path_tracer_tpu.ops.pallas_kernels import (
     baked_culled_intersect,
     baked_intersect,
     fused_render_baked,
     fused_render_dynculled,
     fused_render_persistent,
+    fused_segment_baked,
+    fused_segment_dynculled,
     pack_culled_scene,
     pack_scene,
 )
+from wavefront_path_tracer_tpu.ops.raygen import generate_rays
 from wavefront_path_tracer_tpu.utils.config import RenderConfig
 
 _LANES = 128
@@ -303,14 +307,17 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     split = _effective_split(config.lane_split, n_samples)
     clusters = _resolve_clusters(config, scene_arrays)
     if config.intersector == "baked":
+        baked = _baked_fn(scene_arrays, clusters,
+                          camera_pos=_concrete_eye(view),
+                          winner_hint=config.winner_hint,
+                          lut_max=config.tex_lut_max)
+        if config.recluster > 0:
+            return _render_recluster_impl(
+                scene_arrays, cam, view, inv_proj, config, frame,
+                sample_base, n_samples, baked_fn=baked)
         return _render_samples_impl(
             scene_arrays, cam, view, inv_proj, config, frame, sample_base,
-            n_samples,
-            baked_fn=_baked_fn(scene_arrays, clusters,
-                               camera_pos=_concrete_eye(view),
-                               winner_hint=config.winner_hint,
-                               lut_max=config.tex_lut_max),
-            lane_split=split,
+            n_samples, baked_fn=baked, lane_split=split,
         )
     if "tex_kind" in scene_arrays and clusters <= 0:
         raise NotImplementedError(
@@ -348,6 +355,15 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
             camera_pos=_concrete_eye(view))
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
                       _static_image_luts(scene_arrays, config.tex_lut_max))
+    if config.recluster > 0:
+        if dyn is None:
+            raise NotImplementedError(
+                "recluster > 0 needs a culling intersector — the whole "
+                "point is restoring whole-tile consensus skips; use "
+                "intersector='baked' or baked_clusters > 0")
+        return _render_recluster_impl(
+            scene_arrays, cam, view, inv_proj, config, frame, sample_base,
+            n_samples, dyn_tables=dyn, dyn_static=dyn_static)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=None, lane_split=split,
@@ -377,6 +393,15 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
             camera_pos=_concrete_eye(view))
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
                       _static_image_luts(scene_arrays, config.tex_lut_max))
+    if config.recluster > 0:
+        if baked_fn is None and dyn is None:
+            raise NotImplementedError(
+                "recluster > 0 needs a culling intersector; use "
+                "intersector='baked' or baked_clusters > 0")
+        return _render_recluster_impl(
+            scene_arrays, cam, view, inv_proj, config, frame, sample_base,
+            n_samples, baked_fn=baked_fn, with_stats=True,
+            dyn_tables=dyn, dyn_static=dyn_static)
     return _render_samples_impl(
         scene_arrays, cam, view, inv_proj, config, frame, sample_base,
         n_samples, baked_fn=baked_fn, with_stats=True,
@@ -400,26 +425,36 @@ def stage_timing(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     bake + compile (persistently cached), so the first run costs a few
     compiles; results are exact for THIS scene/config.
 
-    Only the baked intersector is supported: the probed trace is keyed
-    by the fresh bake closure, so variants can't collide in jit caches
-    (the dynamic kernels share static keys across PROBE values).
+    Both production intersectors are supported.  Baked: the probed
+    trace is keyed by the fresh bake closure per variant.  Dynamic
+    (bruteforce + baked_clusters > 0): the kernel wrappers carry the
+    PROBE set as a static jit arg (``probe=``), so variants can't
+    collide in jit caches.
 
     Returns (base_seconds, [(stage, seconds, share), ...]) where the
     final row is the unprobed residual.
     """
-    if config.intersector != "baked":
-        raise NotImplementedError(
-            "fused stage timing probes are implemented for "
-            "intersector='baked' (the production path); the dynamic "
-            "kernels' jit keys don't distinguish probe variants")
     import time
 
     from wavefront_path_tracer_tpu.ops import pallas_kernels as pk
 
     clusters = _resolve_clusters(config, scene_arrays)
     culled = clusters > 0
+    dynamic = config.intersector != "baked"
+    if dynamic and config.intersector != "bruteforce":
+        raise NotImplementedError(
+            "fused stage timing probes cover intersector='baked' and "
+            "'bruteforce' (the production paths)")
+    if dynamic and not culled:
+        raise NotImplementedError(
+            "the plain dynamic VMEM kernel has no probe points; use "
+            "baked_clusters > 0")
     stages = [("generate (raygen)", "dbl_raygen")]
-    if culled:
+    if dynamic:
+        stages += [("extend: primitive tests", "dyn_dbl_entry"),
+                   ("extend: cull conds", "dyn_dbl_cond"),
+                   ("extend: global sweep", "dyn_dbl_global")]
+    elif culled:
         stages += [("extend: primitive tests", "dbl_entry"),
                    ("extend: cull conds", "dbl_cond")]
     stages += [("shade (BSDF)", "dbl_shade"),
@@ -442,28 +477,40 @@ def stage_timing(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     else:
         pix = jnp.arange(config.num_pixels, dtype=jnp.uint32)
 
+    dyn = dyn_static = None
+    if dynamic:
+        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
+            scene_arrays, clusters, camera_pos=eye)
+        dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
+                      _static_image_luts(scene_arrays, config.tex_lut_max))
+
     def timed(variant: str) -> float:
         pk.PROBE = frozenset() if variant is None else frozenset([variant])
         try:
-            # Bypass _BAKED_CACHE: its key doesn't include PROBE, and a
-            # fresh closure per variant keeps the jit caches distinct.
-            if culled:
-                baked = pk.baked_culled_intersect(
-                    *sargs, cluster_size=clusters, camera_hint=eye)
-            else:
-                baked = pk.baked_intersect(*sargs)
-            baked.image_textures = _bake_image_luts(
-                scene_arrays, sargs[0], lut_max=config.tex_lut_max)
+            baked = None
+            if not dynamic:
+                # Bypass _BAKED_CACHE: its key doesn't include PROBE,
+                # and a fresh closure per variant keeps the jit caches
+                # distinct (the dynamic path keys on probe= instead).
+                if culled:
+                    baked = pk.baked_culled_intersect(
+                        *sargs, cluster_size=clusters, camera_hint=eye)
+                else:
+                    baked = pk.baked_intersect(*sargs)
+                baked.image_textures = _bake_image_luts(
+                    scene_arrays, sargs[0], lut_max=config.tex_lut_max)
             _, rays = render_pixels(
                 pix, scene_arrays, cam, view, inv_proj, config,
-                jnp.uint32(0), jnp.uint32(0), n_samples, baked)
+                jnp.uint32(0), jnp.uint32(0), n_samples, baked,
+                dyn_tables=dyn, dyn_static=dyn_static)
             float(rays)  # compile + tunnel-safe completion
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 _, rays = render_pixels(
                     pix, scene_arrays, cam, view, inv_proj, config,
-                    jnp.uint32(1), jnp.uint32(0), n_samples, baked)
+                    jnp.uint32(1), jnp.uint32(0), n_samples, baked,
+                    dyn_tables=dyn, dyn_static=dyn_static)
                 float(rays)
                 times.append(time.perf_counter() - t0)
             return min(times)
@@ -576,6 +623,9 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             rr_floor=config.rr_floor,
             clamp=config.clamp,
             sampler=config.sampler,
+            # Keys the jit cache on the active stage-timing probe set
+            # (the kernel reads pallas_kernels.PROBE at trace time).
+            probe=frozenset(_pk.PROBE),
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -606,6 +656,220 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         }
         return radiance, jnp.sum(rays[:, 0]), stats
     return radiance, jnp.sum(rays[:, 0])
+
+
+def _segment_schedule(k: int, max_bounces: int) -> tuple:
+    """Segment lengths for the re-clustering engine: K, K, 2K, 4K, ...
+    clipped so the total is exactly ``max_bounces`` (every ray is dead
+    after the last segment).  Doubling caps the sort count at
+    O(log(max_bounces / K)) per sample: coherence decays fastest in the
+    early, fully-live bounces, while the long tail has few live rays
+    (already compacted to the front) and gains little from re-sorting.
+    """
+    ks = [min(k, max_bounces)]
+    tot = ks[0]
+    step = k
+    while tot < max_bounces:
+        step_eff = min(step, max_bounces - tot)
+        ks.append(step_eff)
+        tot += step_eff
+        step *= 2
+    return tuple(ks)
+
+
+def _coherence_key(ox, oy, oz, dx, dy, dz, alive, lo, inv_ext):
+    """Sort key grouping live rays by origin Morton cell (128^3 grid
+    over the scene box, 21 bits) then direction octant (3 low bits);
+    dead rays key to int32 max so one ascending argsort compacts AND
+    coheres.  Origin-major: under tight slab-exit caps a ray's entered
+    clusters are dominated by its near field, so rays from one cell
+    share entries even across octants (the octant then splits a cell's
+    tiles by travel direction)."""
+    i32 = jnp.int32
+
+    def spread(v, l, ie):
+        s = jnp.clip((v - l) * ie * 128.0, 0.0, 127.0).astype(i32)
+        s = (s | (s << 16)) & 0x030000FF
+        s = (s | (s << 8)) & 0x0300F00F
+        s = (s | (s << 4)) & 0x030C30C3
+        s = (s | (s << 2)) & 0x09249249
+        return s
+
+    m = ((spread(ox, lo[0], inv_ext[0]) << 2)
+         | (spread(oy, lo[1], inv_ext[1]) << 1)
+         | spread(oz, lo[2], inv_ext[2]))
+    octant = ((dx < 0).astype(i32) * 4 + (dy < 0).astype(i32) * 2
+              + (dz < 0).astype(i32))
+    return jnp.where(alive > 0, (m << 3) | octant, i32(0x7FFFFFFF))
+
+
+def render_pixels_recluster(pixel_idx, scene_arrays, cam, view, inv_proj,
+                            config: RenderConfig, frame, sample_base,
+                            n_samples, baked_fn=None,
+                            with_stats: bool = False,
+                            dyn_tables=None, dyn_static=None):
+    """Segmented re-clustering render of any pixel-index subset
+    (``config.recluster`` > 0); radiance is returned in pixel_idx order.
+
+    Per sample: XLA raygen in the caller's pixel order (pass
+    block-tile order for coherent primaries), then segments of the
+    in-kernel bounce loop (ops/pallas_kernels._segment_impl) separated
+    by a coherence sort (_coherence_key + one argsort + plane gathers).
+    Radiance accumulates per ray and scatters back to the lane's
+    origin slot once per sample.  RNG streams are the shared
+    per-(pixel, sample, bounce) contract, so parity with every other
+    engine holds unchanged.  Not jitted itself — callers jit
+    (_render_recluster_impl) or trace it inside shard_map
+    (parallel/sharding.py; each shard sorts its own rays locally, so no
+    collectives are added).
+    """
+    interpret = jax.default_backend() == "cpu"
+    n = pixel_idx.shape[0]
+    rows = -(-n // _LANES)
+    rows_total = -(-rows // config.tile_rows) * config.tile_rows
+    n_pad = rows_total * _LANES
+
+    def plane(x, fill=0.0):
+        pad = n_pad - x.shape[0]
+        return jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.full((pad,), fill, jnp.float32)]).reshape(
+                 rows_total, _LANES)
+
+    # Two lane identities ride the sorts: the *global* pixel id (RNG
+    # streams) and the *local* slot (radiance scatter target).  Padding
+    # lanes carry slot n: out of range, so the final scatter drops them
+    # (mode="drop"); they start dead and stay dead.
+    pix0 = jnp.concatenate(
+        [pixel_idx.astype(jnp.uint32),
+         jnp.zeros((n_pad - n,), jnp.uint32)]).reshape(rows_total, _LANES)
+    slot0 = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.uint32),
+         jnp.full((n_pad - n,), n, jnp.uint32)]).reshape(
+             rows_total, _LANES)
+    zeros = jnp.zeros((rows_total, _LANES), jnp.float32)
+    alive0 = plane(jnp.ones((n,), jnp.float32))
+    ones_t = plane(jnp.ones((n,), jnp.float32))
+
+    # Morton grid bounds: the scene's primitive box.  Scatter origins
+    # lie on primitive surfaces, so this box covers every live origin.
+    centers = scene_arrays["centers"]
+    absr = jnp.abs(scene_arrays["radii"])[:, None]
+    lo = jnp.min(centers - absr, axis=0)
+    hi = jnp.max(centers + absr, axis=0)
+    if "tri_v0" in scene_arrays:
+        v0 = scene_arrays["tri_v0"]
+        v1 = v0 + scene_arrays["tri_e1"]
+        v2 = v0 + scene_arrays["tri_e2"]
+        lo = jnp.minimum(lo, jnp.minimum(v0, jnp.minimum(v1, v2)).min(0))
+        hi = jnp.maximum(hi, jnp.maximum(v0, jnp.maximum(v1, v2)).max(0))
+    inv_ext = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+    ks = _segment_schedule(config.recluster, config.max_bounces)
+    frame_u = jnp.asarray(frame, jnp.uint32)
+
+    def run_segment(pix_t, samp_t, state, k):
+        salts = jnp.stack([frame_u, jnp.uint32(config.max_bounces),
+                           jnp.uint32(k), jnp.uint32(0)])
+        common = dict(rows=config.tile_rows, interpret=interpret,
+                      rr_start=config.rr_start_bounce,
+                      rr_floor=config.rr_floor, clamp=config.clamp,
+                      sampler=config.sampler)
+        if baked_fn is not None:
+            return fused_segment_baked(baked_fn, salts, pix_t, samp_t,
+                                       state, **common)
+        ngb, ncl, nsup, ntc, ntsup, csize, image_luts = dyn_static
+        return fused_segment_dynculled(
+            *dyn_tables, salts, pix_t, samp_t, state,
+            n_global_blocks=ngb, n_clusters=ncl, n_supers=nsup,
+            n_tri_clusters=ntc, n_tri_supers=ntsup, cluster_size=csize,
+            image_luts=image_luts, probe=frozenset(_pk.PROBE), **common)
+
+    def one_sample(s, carry):
+        acc, rays_tot, iters, sups, clus = carry
+        sample = (jnp.asarray(sample_base, jnp.uint32)
+                  + jnp.asarray(s, jnp.uint32))
+        origin, direction = generate_rays(
+            pixel_idx, config.width, config.height, frame_u, sample, cam,
+            view, inv_proj, sampler=config.sampler)
+        # State layout: pallas_kernels._SEG_STATE (bounce, o xyz, d xyz,
+        # throughput rgb, radiance rgb, alive).  Padding directions are
+        # +z so per-ray 1/d stays finite on dead lanes.
+        state = (
+            zeros,
+            plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+            plane(direction[:, 0]), plane(direction[:, 1]),
+            plane(direction[:, 2], fill=1.0),
+            ones_t, ones_t, ones_t,
+            zeros, zeros, zeros,
+            alive0,
+        )
+        pix_t = pix0
+        slot_t = slot0
+        samp_t = jnp.full((rows_total, _LANES), sample, jnp.uint32)
+        for i, k in enumerate(ks):
+            if i > 0:
+                key = _coherence_key(
+                    state[1].ravel(), state[2].ravel(), state[3].ravel(),
+                    state[4].ravel(), state[5].ravel(), state[6].ravel(),
+                    state[13].ravel(), lo, inv_ext)
+                order = jnp.argsort(key)
+
+                def g(p):
+                    return jnp.take(p.ravel(), order).reshape(
+                        rows_total, _LANES)
+
+                state = tuple(g(p) for p in state)
+                pix_t = g(pix_t)
+                slot_t = g(slot_t)
+            state, aux = run_segment(pix_t, samp_t, state, k)
+            rays_tot = rays_tot + jnp.sum(aux[:, 0])
+            iters = iters + jnp.sum(aux[:, 1])
+            sups = sups + jnp.sum(aux[:, 2])
+            clus = clus + jnp.sum(aux[:, 3])
+        rgb = jnp.stack([state[10].ravel(), state[11].ravel(),
+                         state[12].ravel()], axis=-1)
+        acc = acc.at[slot_t.ravel().astype(jnp.int32)].add(rgb,
+                                                           mode="drop")
+        return acc, rays_tot, iters, sups, clus
+
+    init = (jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    acc, rays_tot, iters, sups, clus = jax.lax.fori_loop(
+        0, n_samples, one_sample, init)
+    if with_stats:
+        return acc, rays_tot, {"iterations": iters, "supers_entered": sups,
+                               "clusters_entered": clus}
+    return acc, rays_tot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "config", "baked_fn", "with_stats",
+                     "dyn_static"),
+)
+def _render_recluster_impl(scene_arrays, cam, view, inv_proj,
+                           config: RenderConfig, frame, sample_base,
+                           n_samples=1, baked_fn=None,
+                           with_stats: bool = False,
+                           dyn_tables=None, dyn_static=None):
+    """Whole-image jit wrapper over render_pixels_recluster: block-tile
+    pixel order in (coherent primaries), natural pixel order out."""
+    if config.block_tiles:
+        perm, inv = _block_perm(config.width, config.height,
+                                config.block_tiles)
+        pixel_idx = jnp.asarray(perm)
+        out = render_pixels_recluster(
+            pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
+            sample_base, n_samples, baked_fn=baked_fn,
+            with_stats=with_stats, dyn_tables=dyn_tables,
+            dyn_static=dyn_static)
+        return (out[0][jnp.asarray(inv)],) + out[1:]
+    pixel_idx = jnp.arange(config.num_pixels, dtype=jnp.uint32)
+    return render_pixels_recluster(
+        pixel_idx, scene_arrays, cam, view, inv_proj, config, frame,
+        sample_base, n_samples, baked_fn=baked_fn, with_stats=with_stats,
+        dyn_tables=dyn_tables, dyn_static=dyn_static)
 
 
 @functools.partial(

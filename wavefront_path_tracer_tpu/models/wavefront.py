@@ -146,6 +146,28 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         hit = hit & live
         missed = live & ~hit
 
+        if config.material_split:
+            # Per-material shade on a material-partitioned queue — the
+            # reference's TODO (README.md:19) done for real: partition
+            # by the material the lane is ABOUT to shade (the extend
+            # winner), so the shade stage runs over contiguous
+            # same-material segments.  Dead lanes sort last, which also
+            # pre-compacts.  Results are bit-identical (RNG is keyed by
+            # pixel; the radiance scatter is slot-addressed) — on the
+            # TPU's lockstep VPU this buys nothing the branchless
+            # scatter doesn't already have, and costs one permutation
+            # per bounce (measured A/B in BENCHMARKS.md).
+            key = jnp.where(hit, mat, jnp.int32(3))
+            idx32 = jnp.arange(key.shape[0], dtype=jnp.int32)
+            _, order0 = jax.lax.sort_key_val(key, idx32, is_stable=True)
+            (q_pixel, q_slot, q_origin, q_dir, q_throughput) = (
+                q_pixel[order0], q_slot[order0], q_origin[order0],
+                q_dir[order0], q_throughput[order0])
+            (t, hit, normal, albedo, fuzz, refract, mat, missed) = (
+                t[order0], hit[order0], normal[order0], albedo[order0],
+                fuzz[order0], refract[order0], mat[order0],
+                missed[order0])
+
         # K4 miss: terminal sky contribution, scattered back to pixels.
         sky = q_throughput * sky_color(q_dir)
         if config.clamp > 0.0:
@@ -155,18 +177,18 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         )
 
         # K3 shade: attenuate + scatter, RNG stream keyed by *pixel*
-        # (deterministic; unlike reference shade.wgsl:72's queue-slot seed).
+        # (deterministic; unlike reference shade.wgsl:72's queue-slot
+        # seed).  scatter == scatter_partitioned by construction
+        # (ops/bsdf.py), so material_split's partition above is the
+        # whole difference between the two architectures.
         p = q_origin + t[:, None] * q_dir
         state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
-        # Optional per-material shade split (reference TODO README.md:19):
-        # identical results; exists for architecture parity / A-B.
-        shade_fn = scatter_partitioned if config.material_split else scatter
         strat = None
         if config.sampler == "stratified":
             strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
                      + jnp.uint32(3) * bounce.astype(jnp.uint32))
-        new_dir = shade_fn(state_rng, q_dir, normal, mat, fuzz, refract,
-                           strat)
+        new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract,
+                          strat)
         q_throughput = jnp.where(
             hit[:, None], q_throughput * albedo, q_throughput
         )
@@ -182,18 +204,10 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
                 config.rr_start_bounce, config.rr_floor)
 
         # Compact: survivors to the queue front (replaces atomic appends
-        # + the extension-buffer move, path_tracer.rs:348).  With
-        # material_split, survivors are additionally grouped by the
-        # material they will hit next... materials are only known after
-        # the *next* extend, so group by the material just shaded —
-        # coherent queues for scenes with spatially clustered materials.
-        if config.material_split:
-            key = jnp.where(hit, mat, jnp.int32(3))  # dead lanes last
-            idx32 = jnp.arange(key.shape[0], dtype=jnp.int32)
-            _, order = jax.lax.sort_key_val(key, idx32, is_stable=True)
-            new_count = jnp.sum(hit.astype(jnp.int32))
-        else:
-            order, new_count = compaction_order(hit)
+        # + the extension-buffer move, path_tracer.rs:348).  Under
+        # material_split the queue is already material-partitioned with
+        # dead lanes last; the stable compaction preserves that order.
+        order, new_count = compaction_order(hit)
         q_pixel = q_pixel[order]
         q_slot = q_slot[order]
         q_origin = q_origin[order]

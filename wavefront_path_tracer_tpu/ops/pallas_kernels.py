@@ -1967,11 +1967,14 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                     for v in (ox, oy, oz, idx_, idy_, idz_, cap))
                     for r in range(ox.shape[0])]
 
-            def cond_group(aabb_ref, g0, rows_bc):
+            def cond_group(aabb_ref, g0, rows_bc, shift=None):
                 # Consensus conds for the 8 AABBs at rows [g0, g0+8)
                 # (g0 may be traced) -> (8, 1) int32.  NaN padding rows
-                # compare false on every lane.
+                # compare false on every lane.  ``shift`` is the
+                # dyn_dbl_cond probe's CSE-defeating traced zero.
                 blk = aabb_ref[pl.ds(g0, 8), :]
+                if shift is not None:
+                    blk = blk + shift
                 lo = (blk[:, 0:1], blk[:, 1:2], blk[:, 2:3])
                 hi = (blk[:, 3:4], blk[:, 4:5], blk[:, 5:6])
                 live = None
@@ -2008,11 +2011,16 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                 # AABBs in the last group compare false -> never live.
                 t_exit = slab_cap(sref)
 
+                cond_reps = 2 if "dyn_dbl_cond" in PROBE else 1
+
                 def grp_step(gi, x):
                     cap = jnp.minimum(t_ref[:], t_exit)
-                    any8 = cond_group(sup_aabb_ref, gi * 8, cap_rows(cap))
-                    for j in range(8):
-                        supcond_ref[sup_base + gi * 8 + j] = any8[j, 0]
+                    rc = cap_rows(cap)
+                    for rep in range(cond_reps):
+                        any8 = cond_group(sup_aabb_ref, gi * 8, rc,
+                                          shift=zz if rep else None)
+                        for j in range(8):
+                            supcond_ref[sup_base + gi * 8 + j] = any8[j, 0]
                     for j in range(8):
                         batch_step(gi * 8 + j)
                     return x
@@ -2028,11 +2036,14 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                         cap = jnp.minimum(t_ref[:], t_exit)
                         rb = cap_rows(cap)
                         k0 = bi * _DYN_SUPER
-                        for gi in range(_DYN_SUPER // 8):
-                            any8 = cond_group(aabb_ref, k0 + gi * 8, rb)
-                            for j in range(8):
-                                cond_ref[cond_base + k0
-                                         + gi * 8 + j] = any8[j, 0]
+                        for rep in range(cond_reps):
+                            for gi in range(_DYN_SUPER // 8):
+                                any8 = cond_group(
+                                    aabb_ref, k0 + gi * 8, rb,
+                                    shift=zz if rep else None)
+                                for j in range(8):
+                                    cond_ref[cond_base + k0
+                                             + gi * 8 + j] = any8[j, 0]
                         for j in range(_DYN_SUPER):
                             @pl.when(cond_ref[cond_base + k0 + j] > 0)
                             def _(j=j):
@@ -2045,6 +2056,19 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                               + b * 8, 8), :]
                                     vals = block_fn(blk, vals, ox, oy,
                                                     oz, dx, dy, dz)
+                                if "dyn_dbl_entry" in PROBE:
+                                    # perf probe: idempotent re-test
+                                    # (traced-zero shift defeats CSE;
+                                    # equal t never wins the strict <)
+                                    for b in range(bpc):
+                                        blk = table_ref[
+                                            pl.ds(row0
+                                                  + (k0 + j)
+                                                  * cluster_size
+                                                  + b * 8, 8), :]
+                                        vals = block_fn(blk + zz, vals,
+                                                        ox, oy, oz,
+                                                        dx, dy, dz)
                                 for ref, val in zip(refs, vals):
                                     ref[:] = val
 
@@ -2509,7 +2533,9 @@ def _segment_impl(
 
     state0 = (
         _u32(0),                                # segment iteration
-        bnc_ref[:].astype(jnp.uint32),          # bounce
+        # Mosaic has no f32<->u32 casts; round-trip through int32
+        # (bounce < 2^31 always, same trick as _next_f32).
+        pltpu.bitcast(bnc_ref[:].astype(jnp.int32), jnp.uint32),
         ox_ref[:], oy_ref[:], oz_ref[:],
         dx_ref[:], dy_ref[:], dz_ref[:],
         tr_ref[:], tg_ref[:], tb_ref[:],
@@ -2612,7 +2638,7 @@ def _segment_impl(
     final = jax.lax.while_loop(cond, body, state0)
     (_, bounce, ox, oy, oz, dx, dy, dz, tr, tg, tb,
      acc_r, acc_g, acc_b, alive_f, nrays, niter, sup_acc, clu_acc) = final
-    o_bnc[:] = bounce.astype(jnp.float32)
+    o_bnc[:] = pltpu.bitcast(bounce, jnp.int32).astype(jnp.float32)
     o_ox[:] = ox
     o_oy[:] = oy
     o_oz[:] = oz
@@ -2655,6 +2681,12 @@ def _segment_call(kernel, pix, samp, state, rows, interpret):
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)]
         * (_SEG_STATE + 1),
         interpret=interpret,
+        # 29 tiled state planes + whole scene tables: XLA additionally
+        # parks small inter-segment state arrays in VMEM around the
+        # call, overflowing the default 16 MB scoped budget (v5e has
+        # 128 MB).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
@@ -2691,7 +2723,7 @@ def fused_segment_baked(
     static_argnames=("n_global_blocks", "n_clusters", "n_supers",
                      "n_tri_clusters", "n_tri_supers", "cluster_size",
                      "rows", "interpret", "rr_start", "rr_floor", "clamp",
-                     "sampler", "image_luts"))
+                     "sampler", "image_luts", "probe"))
 def fused_segment_dynculled(
     scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
     salts, pix, samp, state,
@@ -2708,8 +2740,14 @@ def fused_segment_dynculled(
     clamp: float = 0.0,
     sampler: str = "random",
     image_luts: tuple = (),
+    probe: frozenset = frozenset(),
 ):
-    """One segment with the dynamic consensus-culled intersector."""
+    """One segment with the dynamic consensus-culled intersector.
+
+    ``probe`` must equal the module-global PROBE at call time: the
+    kernel reads PROBE at trace time, and this static arg is what keys
+    the jit cache so stage-timing variants can't collide (the baked
+    path gets this for free from its per-variant closure identity)."""
 
     def kernel(scn_ref, clu_ref, sup_ref, slab_ref, tri_ref, tri_clu_ref,
                tri_sup_ref, tri_slab_ref, *refs):
@@ -2743,6 +2781,8 @@ def fused_segment_dynculled(
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)]
         * (_SEG_STATE + 1),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(  # see _segment_call
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(
         scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)), pix, samp, *state)
@@ -2860,7 +2900,7 @@ def fused_render_baked(
                      "n_tri_clusters", "n_tri_supers",
                      "cluster_size", "rows", "interpret", "rotate",
                      "rotate_cols", "rr_start", "rr_floor", "clamp",
-                     "sampler", "image_luts"),
+                     "sampler", "image_luts", "probe"),
 )
 def fused_render_dynculled(
     scn, clu, sup, slab,  # pack_culled_scene sphere tables (VMEM inputs)
@@ -2883,6 +2923,7 @@ def fused_render_dynculled(
     clamp: float = 0.0,
     sampler: str = "random",
     image_luts: tuple = (),
+    probe: frozenset = frozenset(),
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes

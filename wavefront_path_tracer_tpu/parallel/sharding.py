@@ -121,7 +121,18 @@ def render_samples_sharded(
     def tile_fn(pixel_idx, scene_arrays, view, inv_proj, frame, sample_base):
         sshard = jax.lax.axis_index("samples").astype(jnp.uint32)
         base = sample_base + sshard * jnp.uint32(samples_per_shard)
-        if config.engine == "fused":
+        if config.engine == "fused" and config.recluster > 0:
+            # Segmented re-clustering engine: each shard coherence-sorts
+            # its own rays locally (no collectives added).
+            from wavefront_path_tracer_tpu.models.fused import (
+                render_pixels_recluster)
+
+            rad, _ = render_pixels_recluster(
+                pixel_idx[0], scene_arrays, cam, view, inv_proj, config,
+                frame, base, samples_per_shard, baked_fn=baked_fn,
+                dyn_tables=dyn, dyn_static=dyn_static,
+            )
+        elif config.engine == "fused":
             from wavefront_path_tracer_tpu.models.fused import (
                 _effective_split, render_pixels)
 
