@@ -380,6 +380,93 @@ def _apply_image_textures(img_texs, hit, b_cx, b_cy, b_cz, b_ir, b_it,
         pltpu.VMEM(hit.shape, jnp.float32))
 
 
+# Default winner-attribute pack width (see _pack_albedo_mat):
+# "16" = exact-to-7.6e-6 two-int pack, "10" = one-int 10:10:10 pack
+# (3 selects saved instead of 2, but its <=1/2046-per-channel albedo
+# quantization is visible against the 1e-3 golden gate), False = keep
+# the four float selects.  Measured A/B in BENCHMARKS.md round 4.
+PACK_ATTRS_DEFAULT = "16"
+
+
+def _signed32(word):
+    return word - (1 << 32) if word >= (1 << 31) else word
+
+
+def _pack_albedo_mat(ar, ag, ab, mt, width):
+    """Bake-time pack of the winner's (albedo rgb, material id) into
+    int32 words.
+
+    The winner-select chain is ~14% of the headline iteration cost
+    (exp/iterprobe.py) and every op on the issue-bound VPU is wall
+    time, so the four per-primitive attribute selects (albedo rgb +
+    material id) collapse into one ("10") or two ("16") int32 selects,
+    decoded once per iteration after the sweep — the texture-LUT leaf
+    trick (_apply_image_textures) applied to the winner carry itself.
+    It also drops 3 (or 2) VMEM carry refs, thinning every cluster
+    entry's load/store restage.  "10": r:g:b on a 1/1023 grid + 2-bit
+    mat in one word (error <= 1/2046 = 4.9e-4 per channel).  "16":
+    (r:16|g:16) and (b:16|mat) on a 1/65535 grid (error <= 7.6e-6 —
+    below f32 render noise, no observable change).  Material ids are
+    exact in both.  Packing auto-disables when any albedo leaves
+    [0, 1] (_pack_albedo_ok)."""
+    if width == "10":
+        q = [int(round(min(max(float(v), 0.0), 1.0) * 1023.0))
+             for v in (ar, ag, ab)]
+        return (_signed32((q[0] << 20) | (q[1] << 10) | q[2]
+                          | (int(mt) << 30)),)
+    q = [int(round(min(max(float(v), 0.0), 1.0) * 65535.0))
+         for v in (ar, ag, ab)]
+    return (_signed32((q[0] << 16) | q[1]),
+            _signed32((q[2] << 16) | int(mt)))
+
+
+def _unpack_albedo_mat(pks, width):
+    """In-kernel decode of _pack_albedo_mat (int32 (8,128) plane(s) ->
+    four float planes; ~13 vector ops once per iteration)."""
+    if width == "10":
+        (pk,) = pks
+        inv = jnp.float32(1.0 / 1023.0)
+        ar = ((pk >> 20) & 1023).astype(jnp.float32) * inv
+        ag = ((pk >> 10) & 1023).astype(jnp.float32) * inv
+        ab = (pk & 1023).astype(jnp.float32) * inv
+        mt = ((pk >> 30) & 3).astype(jnp.float32)
+        return ar, ag, ab, mt
+    pk1, pk2 = pks
+    inv = jnp.float32(1.0 / 65535.0)
+    ar = ((pk1 >> 16) & 65535).astype(jnp.float32) * inv
+    ag = (pk1 & 65535).astype(jnp.float32) * inv
+    ab = ((pk2 >> 16) & 65535).astype(jnp.float32) * inv
+    mt = (pk2 & 3).astype(jnp.float32)
+    return ar, ag, ab, mt
+
+
+def _resolve_pack(pack_attrs, albedo, triangles=None):
+    """(width | None, n_packed_words) for a builder's pack_attrs arg."""
+    if pack_attrs is True:
+        pack_attrs = PACK_ATTRS_DEFAULT
+    if not pack_attrs or not _pack_albedo_ok(albedo, triangles):
+        return None, 0
+    if pack_attrs not in ("10", "16"):
+        raise ValueError(f"pack_attrs must be '10', '16' or falsy, "
+                         f"got {pack_attrs!r}")
+    return pack_attrs, 1 if pack_attrs == "10" else 2
+
+
+def _pack_albedo_ok(albedo, triangles=None):
+    """Packing precondition: every albedo on the [0,1] quantization
+    grid's domain (scene files may carry emissive-style >1 albedos —
+    those scenes silently keep the exact float chain)."""
+    import numpy as np
+
+    a = np.asarray(albedo, np.float64)
+    ok = bool((a >= 0.0).all() and (a <= 1.0).all())
+    if ok and triangles is not None and getattr(triangles,
+                                                "num_triangles", 0):
+        ta = np.asarray(triangles.albedo, np.float64)
+        ok = bool((ta >= 0.0).all() and (ta <= 1.0).all())
+    return ok
+
+
 def _raygen_tile(xs, ys, pix, frame, sample, cam_ref,
                  sampler: str = "random"):
     """In-kernel primary-ray generation (the reference's K1,
@@ -532,7 +619,8 @@ def _t2_elidable(centers, radii, mat_type, fuzz, triangles=None):
 
 
 def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
-                    triangles=None, tex=None, full_inv_r=False):
+                    triangles=None, tex=None, full_inv_r=False,
+                    pack_attrs=True):
     """Build an intersect function with the scene baked as immediates.
 
     Dynamic per-sphere scalar VMEM loads dominate the sphere loop's
@@ -566,6 +654,8 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
     # scenes keep the true 1/r — it is part of the LUT winner-identity
     # key (_apply_image_textures:324) — via ``full_inv_r``.
     any_neg = bool((np.asarray(radii) < 0).any())
+    pack_w, n_pk = _resolve_pack(pack_attrs, albedo, triangles)
+    packed = pack_w is not None
     elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
     sph = [
         (float(centers[i, 0]), float(centers[i, 1]), float(centers[i, 2]),
@@ -598,12 +688,15 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
         b_cy = jnp.zeros(shape, f32)
         b_cz = jnp.zeros(shape, f32)
         b_inv_r = jnp.ones(shape, f32)
-        b_ar = jnp.zeros(shape, f32)
-        b_ag = jnp.zeros(shape, f32)
-        b_ab = jnp.zeros(shape, f32)
+        if packed:
+            b_pks = [jnp.zeros(shape, jnp.int32) for _ in range(n_pk)]
+        else:
+            b_ar = jnp.zeros(shape, f32)
+            b_ag = jnp.zeros(shape, f32)
+            b_ab = jnp.zeros(shape, f32)
+            b_mt = jnp.zeros(shape, f32)
         b_fuzz = jnp.zeros(shape, f32)
         b_ior = jnp.ones(shape, f32)
-        b_mt = jnp.zeros(shape, f32)
         b_a2r = jnp.zeros(shape, f32)
         b_a2g = jnp.zeros(shape, f32)
         b_a2b = jnp.zeros(shape, f32)
@@ -638,12 +731,22 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
                 b_inv_r = jnp.where(better, 1.0 if r > 0 else -1.0,
                                     b_inv_r)
             # else: stays the init 1.0 — no select (sign-only use).
-            b_ar = jnp.where(better, ar, b_ar)
-            b_ag = jnp.where(better, ag, b_ag)
-            b_ab = jnp.where(better, ab, b_ab)
-            b_fuzz = jnp.where(better, fz, b_fuzz)
-            b_ior = jnp.where(better, ior, b_ior)
-            b_mt = jnp.where(better, mt, b_mt)
+            if packed:
+                b_pks = [jnp.where(better, pv, bv) for pv, bv in
+                         zip(_pack_albedo_mat(ar, ag, ab, mt, pack_w),
+                             b_pks)]
+            else:
+                b_ar = jnp.where(better, ar, b_ar)
+                b_ag = jnp.where(better, ag, b_ag)
+                b_ab = jnp.where(better, ab, b_ab)
+                b_mt = jnp.where(better, mt, b_mt)
+            # Only the attribute the winner's own material consumes is
+            # selected (shade ignores the others, so stale values are
+            # unobservable).
+            if mt == 1.0:
+                b_fuzz = jnp.where(better, fz, b_fuzz)
+            if mt == 2.0:
+                b_ior = jnp.where(better, ior, b_ior)
             if textured:
                 b_a2r = jnp.where(better, a2r, b_a2r)
                 b_a2g = jnp.where(better, a2g, b_a2g)
@@ -680,12 +783,20 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
             b_ny = jnp.where(better, nrm[1], b_ny)
             b_nz = jnp.where(better, nrm[2], b_nz)
             b_is_tri = jnp.where(better, 1.0, b_is_tri)
-            b_ar = jnp.where(better, alb[0], b_ar)
-            b_ag = jnp.where(better, alb[1], b_ag)
-            b_ab = jnp.where(better, alb[2], b_ab)
-            b_fuzz = jnp.where(better, fz, b_fuzz)
-            b_ior = jnp.where(better, ior, b_ior)
-            b_mt = jnp.where(better, mt, b_mt)
+            if packed:
+                b_pks = [jnp.where(better, pv, bv) for pv, bv in
+                         zip(_pack_albedo_mat(alb[0], alb[1], alb[2], mt,
+                                              pack_w),
+                             b_pks)]
+            else:
+                b_ar = jnp.where(better, alb[0], b_ar)
+                b_ag = jnp.where(better, alb[1], b_ag)
+                b_ab = jnp.where(better, alb[2], b_ab)
+                b_mt = jnp.where(better, mt, b_mt)
+            if mt == 1.0:
+                b_fuzz = jnp.where(better, fz, b_fuzz)
+            if mt == 2.0:
+                b_ior = jnp.where(better, ior, b_ior)
             if textured:
                 # Triangles are untextured (v1): a triangle win clears
                 # the checker (scale 0 disables the select).
@@ -694,6 +805,8 @@ def baked_intersect(centers, radii, albedo, fuzz, refract_idx, mat_type,
                 b_a2b = jnp.where(better, 0.0, b_a2b)
                 b_ts = jnp.where(better, 0.0, b_ts)
 
+        if packed:
+            b_ar, b_ag, b_ab, b_mt = _unpack_albedo_mat(b_pks, pack_w)
         out = (best_t, b_cx, b_cy, b_cz, b_inv_r, b_ar, b_ag, b_ab,
                b_fuzz, b_ior, b_mt, b_nx, b_ny, b_nz, b_is_tri)
         if textured:
@@ -732,7 +845,8 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                            camera_hint=None, refresh: int = 16,
                            super_gate: int = 48,
                            winner_hint: bool = False,
-                           full_inv_r: bool = False):
+                           full_inv_r: bool = False,
+                           pack_attrs: bool = True):
     """Hierarchically culled variant of :func:`baked_intersect`.
 
     The TPU-native analog of the reference's BVH traversal
@@ -821,8 +935,16 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     est_clusters = -(-centers.shape[0] // cluster_size) \
         + -(-n_tris // cluster_size)
     winner_hint = winner_hint and est_clusters <= 64
-    # Carried winner fields: 15 base, +4 texture, +1 winner-cluster id.
-    nf = (19 if textured else 15) + (1 if winner_hint else 0)
+    # Carried winner fields: 15 base (12/13 when albedo+mat ride one or
+    # two packed int32 words — _pack_albedo_mat), +4 texture, +1
+    # winner-cluster id.  Packing drops 3 (or 2) selects per primitive
+    # test AND as many VMEM refs from every cluster entry's carry
+    # restage.
+    pack_w, n_pk = _resolve_pack(pack_attrs, albedo, triangles)
+    packed = pack_w is not None
+    base_nf = (11 + n_pk) if packed else 15
+    nf = (base_nf + (4 if textured else 0)) + (1 if winner_hint else 0)
+    _PK = 5  # first packed carry slot (int32; all other refs are f32)
 
     _elide = _t2_elidable(centers, radii, mat_type, fuzz, triangles)
     # See baked_intersect: inv_r is sign-only for shade; full 1/r is
@@ -979,9 +1101,15 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
             ozp = oz - shift[2]
             dd_o = dx * oxp + dy * oyp + dz * ozp
             oo2 = oxp * oxp + oyp * oyp + ozp * ozp
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
-            texc = list(carry[15:19]) if textured else []
+            if packed:
+                (best_t, b_cx, b_cy, b_cz, b_ir) = carry[:5]
+                b_pks = list(carry[5:5 + n_pk])
+                (b_fz, b_io, b_nx, b_ny, b_nz,
+                 b_it) = carry[5 + n_pk:base_nf]
+            else:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                 b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+            texc = list(carry[base_nf:base_nf + 4]) if textured else []
             key = carry[nf - 1] if winner_hint else None
             for (cx, cy, cz, r, ar, ag, ab, fz, ior, mt, a2r, a2g, a2b, ts,
                  el) in sph:
@@ -1021,9 +1149,16 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                                      b_ir)
                 # else: stays the init 1.0 — shade only uses the sign
                 # (the normal is rsqrt-normalized; _shade_tile:207).
-                b_ar = jnp.where(better, ar, b_ar)
-                b_ag = jnp.where(better, ag, b_ag)
-                b_ab = jnp.where(better, ab, b_ab)
+                if packed:
+                    b_pks = [jnp.where(better, pv, bv) for pv, bv in
+                             zip(_pack_albedo_mat(ar, ag, ab, mt,
+                                                  pack_w),
+                                 b_pks)]
+                else:
+                    b_ar = jnp.where(better, ar, b_ar)
+                    b_ag = jnp.where(better, ag, b_ag)
+                    b_ab = jnp.where(better, ab, b_ab)
+                    b_mt = jnp.where(better, mt, b_mt)
                 # A sphere selects only the attributes its own material
                 # can consume on a win: fuzz feeds the metal path, ior
                 # the dielectric path; shade ignores the others, so
@@ -1032,7 +1167,6 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                     b_fz = jnp.where(better, fz, b_fz)
                 if mt == 2.0:
                     b_io = jnp.where(better, ior, b_io)
-                b_mt = jnp.where(better, mt, b_mt)
                 if any_tris:
                     b_it = jnp.where(better, 0.0, b_it)
                 if textured:
@@ -1044,14 +1178,24 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                         texc = texc[:3] + [jnp.where(better, 0.0, texc[3])]
                 if winner_hint:
                     key = jnp.where(better, f32(cid), key)
+            if packed:
+                return (best_t, b_cx, b_cy, b_cz, b_ir, *b_pks, b_fz,
+                        b_io, b_nx, b_ny, b_nz, b_it, *texc) + (
+                            (key,) if winner_hint else ())
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
                     b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc) + (
                         (key,) if winner_hint else ())
 
         def tri_tests(items, carry, cid=-1.0):
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
-            texc = list(carry[15:19]) if textured else []
+            if packed:
+                (best_t, b_cx, b_cy, b_cz, b_ir) = carry[:5]
+                b_pks = list(carry[5:5 + n_pk])
+                (b_fz, b_io, b_nx, b_ny, b_nz,
+                 b_it) = carry[5 + n_pk:base_nf]
+            else:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                 b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+            texc = list(carry[base_nf:base_nf + 4]) if textured else []
             key = carry[nf - 1] if winner_hint else None
             for v0, e1, e2, nrm, alb, fz, ior, mt in items:
                 # Two-sided Moller-Trumbore, everything constant but the ray.
@@ -1079,18 +1223,30 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                 b_ny = jnp.where(better, nrm[1], b_ny)
                 b_nz = jnp.where(better, nrm[2], b_nz)
                 b_it = jnp.where(better, 1.0, b_it)
-                b_ar = jnp.where(better, alb[0], b_ar)
-                b_ag = jnp.where(better, alb[1], b_ag)
-                b_ab = jnp.where(better, alb[2], b_ab)
-                b_fz = jnp.where(better, fz, b_fz)
-                b_io = jnp.where(better, ior, b_io)
-                b_mt = jnp.where(better, mt, b_mt)
+                if packed:
+                    b_pks = [jnp.where(better, pv, bv) for pv, bv in
+                             zip(_pack_albedo_mat(alb[0], alb[1], alb[2],
+                                                  mt, pack_w),
+                                 b_pks)]
+                else:
+                    b_ar = jnp.where(better, alb[0], b_ar)
+                    b_ag = jnp.where(better, alb[1], b_ag)
+                    b_ab = jnp.where(better, alb[2], b_ab)
+                    b_mt = jnp.where(better, mt, b_mt)
+                if mt == 1.0:
+                    b_fz = jnp.where(better, fz, b_fz)
+                if mt == 2.0:
+                    b_io = jnp.where(better, ior, b_io)
                 if textured:
                     # Triangles are untextured (v1): a win disables the
                     # checker (scale 0).
                     texc = [jnp.where(better, 0.0, v) for v in texc]
                 if winner_hint:
                     key = jnp.where(better, jnp.float32(cid), key)
+            if packed:
+                return (best_t, b_cx, b_cy, b_cz, b_ir, *b_pks, b_fz,
+                        b_io, b_nx, b_ny, b_nz, b_it, *texc) + (
+                            (key,) if winner_hint else ())
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
                     b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it, *texc) + (
                         (key,) if winner_hint else ())
@@ -1125,30 +1281,56 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
                     & (jnp.maximum(c_min, 0.0) < cap))
 
         f0 = jnp.zeros(shape, f32)
-        init = (
-            jnp.full(shape, T_FAR, f32),
-            f0, f0, f0, jnp.ones(shape, f32),
-            f0, f0, f0, f0,
-            jnp.ones(shape, f32), f0,
-            f0, f0, f0, f0,
-        )
+        if packed:
+            init = (
+                jnp.full(shape, T_FAR, f32),
+                f0, f0, f0, jnp.ones(shape, f32),
+                *[jnp.zeros(shape, jnp.int32) for _ in range(n_pk)],
+                f0, jnp.ones(shape, f32),
+                f0, f0, f0, f0,
+            )
+        else:
+            init = (
+                jnp.full(shape, T_FAR, f32),
+                f0, f0, f0, jnp.ones(shape, f32),
+                f0, f0, f0, f0,
+                jnp.ones(shape, f32), f0,
+                f0, f0, f0, f0,
+            )
         if textured:
             init = init + (f0, f0, f0, f0)
         if winner_hint:
             # This iteration's winner-cluster ids (-1 = global/none).
             init = init + (jnp.full(shape, -1.0, f32),)
+
+        def unpack_carry(vals):
+            """Restore the legacy 15-field-base tuple order consumed by
+            _persistent_impl / _shade_tile: decode the packed int32
+            word(s) once per iteration (after the whole sweep)."""
+            if not packed:
+                return tuple(vals)
+            ar, ag, ab, mt = _unpack_albedo_mat(
+                vals[_PK:_PK + n_pk], pack_w)
+            fz, io = vals[5 + n_pk], vals[6 + n_pk]
+            return (tuple(vals[:5]) + (ar, ag, ab, fz, io, mt)
+                    + tuple(vals[7 + n_pk:]))
+
         carry = sphere_tests(global_rows, init)
         hierarchies = [(sph_hier, sphere_tests), (tri_hier, tri_tests)]
         hierarchies = [(h, fn) for h, fn in hierarchies if h[0]]
         if not hierarchies:
-            return carry + (f0, f0)
+            return unpack_carry(carry) + (f0, f0)
 
         def body(*refs):
             for ref, val in zip(refs, carry):
                 ref[:] = val
             if "dbl_scope" in PROBE:  # perf probe: re-stage the scope
                 for ref in refs[:nf]:
-                    ref[:] = ref[:] * 1.0 + (refs[0][0, 0] * 0.0)
+                    if ref.dtype == jnp.int32:
+                        ref[:] = ref[:] + (refs[0][0, 0] * 0.0).astype(
+                            jnp.int32)
+                    else:
+                        ref[:] = ref[:] * 1.0 + (refs[0][0, 0] * 0.0)
             t_ref = refs[0]
             sup_ref, clu_ref = refs[nf], refs[nf + 1]
             sup_ref[:] = f0
@@ -1283,13 +1465,19 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
 
             return tuple(r[:] for r in refs)
 
-        return pl.run_scoped(
-            body, *[pltpu.VMEM(shape, jnp.float32) for _ in range(nf + 2)]
+        out = pl.run_scoped(
+            body, *[pltpu.VMEM(shape,
+                               jnp.int32
+                               if packed and _PK <= i < _PK + n_pk
+                               else jnp.float32)
+                    for i in range(nf + 2)]
         )
+        return unpack_carry(out[:nf]) + tuple(out[nf:])
 
     intersect.returns_cull_stats = True
     intersect.has_textures = textured
     intersect.returns_winner_key = winner_hint
+    intersect.pack_attrs = pack_w
     intersect.n_supers = len(sph_hier[1]) + len(tri_hier[1])
     intersect.n_clusters = len(sph_hier[0]) + len(tri_hier[0])
     # Roofline metadata (bench.py device_utilization): primitives swept
