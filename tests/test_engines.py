@@ -202,3 +202,39 @@ def test_bvh_on_cpu_backend_does_not_warn(book_cover_scene):
         _warnings.simplefilter("error", RuntimeWarning)
         Renderer(book_cover_scene, cc, BASE.replace(
             engine="wavefront", intersector="bvh"))
+
+
+def test_negative_radius_bubble_parity():
+    """Negative-radius (inside-out) spheres through every engine
+    (ADVICE r3: the any_neg sign-only inv_r branch had no suite scene).
+    book_bubble is book_cover with the hollow bubble as radius -0.4
+    instead of inverted IOR.  wavefront must stay bit-identical to the
+    megakernel; fused/baked (packed winner attrs + sign-only inv_r +
+    far-root retention for the inside-out sphere) within the usual
+    summation-order band."""
+    from wavefront_path_tracer_tpu.scene import book_bubble
+
+    scene = book_bubble()
+    cc = _cover_camera()
+    cfg = BASE.replace(samples_per_pixel=8, samples_per_frame=8)
+    mk = _render(scene, cc, cfg.replace(engine="megakernel"))
+    assert np.isfinite(mk.accumulated).all()
+    wf = _render(scene, cc, cfg.replace(engine="wavefront"))
+    np.testing.assert_array_equal(wf.accumulated, mk.accumulated)
+    fu = _render(scene, cc, cfg.replace(engine="fused", intersector="baked"))
+    assert rmse(fu.image, mk.image) < 2e-3
+    cu = _render(scene, cc, cfg.replace(engine="fused", intersector="baked",
+                                        baked_clusters=16))
+    assert rmse(cu.image, mk.image) < 2e-3
+    # The bubble is visibly there: the render differs from a
+    # solid-glass variant (guards against the inside-out sphere being
+    # silently skipped by elision or the sign-only inv_r path).
+    from wavefront_path_tracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.sphere([0.0, -100.5, -1.0], 100.0, b.lambertian([0.8, 0.8, 0.0]))
+    b.sphere([0.0, 0.0, -1.2], 0.5, b.lambertian([0.1, 0.2, 0.5]))
+    b.sphere([1.0, 0.0, -1.0], 0.5, b.metal([0.8, 0.6, 0.2], 1.0))
+    b.sphere([-1.0, 0.0, -1.0], 0.5, b.dielectric(1.50))
+    solid = _render(b.build(), cc, cfg.replace(engine="megakernel"))
+    assert rmse(solid.image, mk.image) > 1e-3

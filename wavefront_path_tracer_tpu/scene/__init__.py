@@ -6,6 +6,7 @@ from wavefront_path_tracer_tpu.scene.scene import (  # noqa: F401
     DIELECTRIC,
     Scene,
     SceneBuilder,
+    book_bubble,
     book_cover,
     book_one_final,
     procedural_spheres,

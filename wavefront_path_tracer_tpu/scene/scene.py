@@ -342,8 +342,30 @@ def book_checker(seed: int = 42) -> Scene:
     return b.build()
 
 
+def book_bubble() -> Scene:
+    """book_cover with the hollow bubble modeled as a NEGATIVE-radius
+    sphere (RTIOW's alternative to the reference's inverted-IOR bubble,
+    scene.rs:34-37): same image, but exercises the inside-out sphere
+    path (flipped normals, sign-only inv_r, far-root retention in
+    _t2_elidable) that scene files permit and no other named scene
+    reaches."""
+    b = SceneBuilder()
+    m_ground = b.lambertian([0.8, 0.8, 0.0])
+    m_center = b.lambertian([0.1, 0.2, 0.5])
+    m_glass = b.dielectric(1.50)
+    m_right = b.metal([0.8, 0.6, 0.2], 1.0)
+
+    b.sphere([0.0, -100.5, -1.0], 100.0, m_ground)
+    b.sphere([0.0, 0.0, -1.2], 0.5, m_center)
+    b.sphere([1.0, 0.0, -1.0], 0.5, m_right)
+    b.sphere([-1.0, 0.0, -1.0], 0.5, m_glass)
+    b.sphere([-1.0, 0.0, -1.0], -0.4, m_glass)
+    return b.build()
+
+
 _SCENES = {
     "book_cover": book_cover,
+    "book_bubble": book_bubble,
     "book_one_final": book_one_final,
     "procedural": procedural_spheres,
     "cornell_spheres": cornell_spheres,
@@ -365,6 +387,9 @@ SCENE_CAMERAS = {
     "book_cover": {"look_from": [-2.0, 2.0, 1.0],
                    "look_at": [0.0, 0.0, -1.0],
                    "vfov": 35.0, "defocus_angle": 0.0},
+    "book_bubble": {"look_from": [-2.0, 2.0, 1.0],
+                    "look_at": [0.0, 0.0, -1.0],
+                    "vfov": 35.0, "defocus_angle": 0.0},
     "cornell_spheres": {"look_from": [0.0, 2.5, 9.5],
                         "look_at": [0.0, 1.7, 0.0],
                         "vfov": 36.0, "defocus_angle": 0.0},

@@ -63,6 +63,21 @@ def main(argv=None) -> int:
                         "under test (0 = off)")
     p.add_argument("--rr-floor", type=float, default=0.05,
                    help="roulette survival floor for the engine under test")
+    p.add_argument("--winner-hint", action="store_true",
+                   help="fused/baked: winner-cluster shortlist prepass")
+    p.add_argument("--lane-split", type=int, default=1,
+                   help="fused: sample budget split over K duplicate lanes")
+    p.add_argument("--rotate-cols", type=int, default=1,
+                   help="fused: column phases for per-sample lane rotation")
+    p.add_argument("--recluster", type=int, default=0,
+                   help="fused: ray-coherence re-clustering segment length")
+    p.add_argument("--material-split", action="store_true",
+                   help="wavefront: partition the shade queue by material")
+    p.add_argument("--sampler", default="random",
+                   help="AA sampler for the engine under test "
+                        "(random | stratified)")
+    p.add_argument("--tex-lut", type=int, default=2048,
+                   help="fused: image-texture LUT texel budget")
     p.add_argument("--test-platform", default=None,
                    help="device platform for the engine under test "
                         "(cpu | tpu; default = process default)")
@@ -155,7 +170,11 @@ def main(argv=None) -> int:
         test = render(scene, cc, base.replace(
             engine=args.engine, intersector=args.intersector,
             baked_clusters=args.clusters, rr_start_bounce=args.rr,
-            rr_floor=args.rr_floor,
+            rr_floor=args.rr_floor, winner_hint=args.winner_hint,
+            lane_split=args.lane_split,
+            lane_rotate_cols=args.rotate_cols, recluster=args.recluster,
+            material_split=args.material_split, sampler=args.sampler,
+            tex_lut_max=args.tex_lut,
             samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
@@ -166,10 +185,21 @@ def main(argv=None) -> int:
         write_png(f"{args.save_prefix}_test.png", test.image)
         write_png(f"{args.save_prefix}_oracle.png", oracle_image)
 
+    variant = "".join(
+        f"/{tag}" for tag, on in (
+            (f"cull{args.clusters}", args.clusters),
+            (f"rr{args.rr}", args.rr),
+            ("winner-hint", args.winner_hint),
+            (f"split{args.lane_split}", args.lane_split > 1),
+            (f"cols{args.rotate_cols}", args.rotate_cols > 1),
+            (f"recluster{args.recluster}", args.recluster),
+            ("matsplit", args.material_split),
+            (args.sampler, args.sampler != "random"),
+        ) if on)
     result = {
         "scene": args.scene,
         "config": f"{args.width}x{args.height}@{args.spp}spp",
-        "engine": f"{args.engine}/{args.intersector}",
+        "engine": f"{args.engine}/{args.intersector}{variant}",
         "oracle": f"{args.oracle_engine}/{args.oracle_intersector}"
                   f"@{oracle_platform}",
         "rmse": err,
