@@ -208,9 +208,12 @@ def main() -> int:
                           timeout=opts.timeout)
         results.append(row)
         print(json.dumps(row), flush=True)
-        summary = flush(results)  # incremental: a killed sweep still
-        #                           leaves every finished row on disk
+        flush(results)  # incremental: a killed sweep still
+        #                 leaves every finished row on disk
 
+    # Final flush: kept-from-existing rows appended *after* the last
+    # run row (the --only merge path) are otherwise never written.
+    summary = flush(results)
     print(f"{summary['passed']}/{len(results)} gates pass -> {OUT}",
           file=sys.stderr)
     return 0 if summary["all_pass"] else 1
