@@ -226,3 +226,31 @@ def test_image_texture_full_res_gate_64spp():
                                         baked_clusters=8))
     assert rmse(baked.image, mk.image) < 1e-3
     assert rmse(dyn.image, mk.image) < 1e-3
+
+
+def test_tex_lut_default_budget_bound():
+    """The default tex_lut_max (8192) must keep the fused LUT within a
+    stated bound of the XLA full-res oracle on a realistic mixed-content
+    256x128 texture (smooth gradient + low-freq bands + high-freq grid).
+    Device-measured curve (exp/texlut.py, TPU, 400x224@64): 512 ->
+    3.1e-2, 2048 -> 7.2e-3, default 8192 -> 3.0e-3, 32768 (full res)
+    -> 1.7e-4.  Same-stream comparison, so MC noise cancels and the
+    residual is pooling + 10:10:10 quantization + UV-binning flips."""
+    from exp.texlut import test_texture as mixed_texture
+
+    img = mixed_texture()
+    b = SceneBuilder()
+    b.sphere([0.0, -100.5, -1.0], 100.0, b.lambertian([0.4, 0.4, 0.4]))
+    b.sphere([0.0, 0.0, -1.2], 0.5, b.lambertian([1.0, 1.0, 1.0],
+                                                 texture=img))
+    scene = b.build()
+    cc = _cover_camera()
+    cfg = BASE.replace(width=100, height=56, samples_per_pixel=4,
+                       samples_per_frame=4)
+    mk = render(scene, cc, cfg.replace(engine="megakernel"))
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+    assert RenderConfig().tex_lut_max == 8192  # the default under test
+    fz = render(scene, cc, cfg.replace(engine="fused",
+                                       intersector="baked"))
+    assert np.isfinite(fz.accumulated).all()
+    assert rmse(fz.image, mk.image) < 8e-3

@@ -156,7 +156,9 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
             # pixel; the radiance scatter is slot-addressed) — on the
             # TPU's lockstep VPU this buys nothing the branchless
             # scatter doesn't already have, and costs one permutation
-            # per bounce (measured A/B in BENCHMARKS.md).
+            # per bounce: measured 0.42x on cornell_spheres / 0.62x on
+            # book_one_final (exp/matsplit_ab.py, BENCHMARKS.md round
+            # 4) — an honest negative result, kept opt-in.
             key = jnp.where(hit, mat, jnp.int32(3))
             idx32 = jnp.arange(key.shape[0], dtype=jnp.int32)
             _, order0 = jax.lax.sort_key_val(key, idx32, is_stable=True)

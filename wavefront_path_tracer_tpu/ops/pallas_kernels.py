@@ -3022,6 +3022,8 @@ def fused_render_persistent(
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(  # large baked scenes /
+            vmem_limit_bytes=100 * 1024 * 1024),  # image LUTs > 16M stack
     )(
         scene_packed,
         jnp.reshape(n_spheres.astype(jnp.int32), (1, 1)),
@@ -3074,6 +3076,8 @@ def fused_render_baked(
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(  # large baked scenes /
+            vmem_limit_bytes=100 * 1024 * 1024),  # image LUTs > 16M stack
     )(
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),
         jnp.reshape(cam_params.astype(f32), (1, 24)),
@@ -3162,6 +3166,8 @@ def fused_render_dynculled(
         out_specs=[tile_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((total_rows, 128), f32)] * 4,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(  # large baked scenes /
+            vmem_limit_bytes=100 * 1024 * 1024),  # image LUTs > 16M stack
     )(
         scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
         jnp.reshape(salts.astype(jnp.uint32), (1, 4)),

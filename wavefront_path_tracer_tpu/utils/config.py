@@ -70,9 +70,15 @@ class RenderConfig:
     # fidelity (the XLA engines always sample full resolution), lower
     # for speed on texture-heavy tiles.  RGB is packed 10:10:10 into
     # one int32 tree (quantization <= 1/1023 per channel), so the cost
-    # per texel is a third of the per-channel-float form the default
-    # was originally tuned on — hence 2048, not 512.
-    tex_lut_max: int = 2048
+    # per texel is a third of the per-channel-float form.  Measured
+    # fidelity/cost curve vs the XLA full-res oracle on a mixed-content
+    # 256x128 texture (exp/texlut.py, TPU, 400x224@64):
+    #   512 -> 3.1e-2, 2048 -> 7.2e-3, 8192 -> 3.0e-3 (+15% render
+    #   cost), 32768 (full res) -> 1.7e-4 (2x render cost).
+    # 8192 is the knee: pooling error ~ the same-stream texture gate
+    # (3e-3) at modest cost.  Budgets above ~4k texels need the raised
+    # kernel VMEM limit (pallas_kernels: vmem_limit_bytes=100M).
+    tex_lut_max: int = 8192
     # Fused/baked culled engine: winner-cluster shortlist.  Each lane
     # remembers which cluster its last hit came from; the next
     # intersect prepass-tests exactly those clusters so the consensus
