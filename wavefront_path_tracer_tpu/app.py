@@ -113,7 +113,8 @@ class InteractiveSession:
 
 def interactive_loop(session: InteractiveSession, out_png: str | None = None,
                      max_frames: int | None = None, stream=None,
-                     input_stream=None, show_term: bool | None = None) -> int:
+                     input_stream=None, show_term: bool | None = None,
+                     publish=None) -> int:
     """Live watch-and-steer loop — the reference's continuous redraw +
     input path (``app.rs:102-121``), headless.
 
@@ -231,6 +232,12 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
                 samples = max(1, result.samples)
                 write_png(out_png, display_transform(
                     result.accumulated, samples))
+            if publish is not None:
+                publish(result.image, samples=result.samples,
+                        target_spp=session.renderer.config.samples_per_pixel,
+                        mrays_per_s=result.mrays_per_s,
+                        fps=session.fps.get_avg_fps(), frame=frames,
+                        done=False)
     finally:
         if old_attrs is not None:
             import termios

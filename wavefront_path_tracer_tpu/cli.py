@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-term", action="store_true",
                    help="draw the converging image in the terminal "
                         "(24-bit ANSI half-blocks) after every frame")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve a live render window over HTTP: frames "
+                        "are pushed to the browser as they converge "
+                        "(multipart stream — the headless-TPU analog of "
+                        "the reference's swapchain present, "
+                        "display.rs:112-150); 0 picks a free port")
     p.add_argument("--interactive", action="store_true",
                    help="live watch-and-steer session (the reference's "
                         "app.rs:102-121 loop, headless): renders "
@@ -320,6 +326,16 @@ def main(argv=None) -> int:
         clamp=args.clamp, stop_delta=args.until_delta,
     )
 
+    server = None
+    if args.serve is not None:
+        from wavefront_path_tracer_tpu.utils.preview_server import (
+            PreviewServer)
+
+        server = PreviewServer(port=args.serve)
+        if not args.quiet:
+            print(f"live render window: http://localhost:{server.port}/",
+                  file=sys.stderr)
+
     if args.interactive:
         from wavefront_path_tracer_tpu.app import (
             InteractiveSession, interactive_loop)
@@ -333,7 +349,8 @@ def main(argv=None) -> int:
                 print(f"live preview: open {html}", file=sys.stderr)
         session = InteractiveSession(scene, cc, cfg, triangles=triangles)
         interactive_loop(session, out_png=args.preview or args.out,
-                         show_term=args.preview_term or None)
+                         show_term=args.preview_term or None,
+                         publish=server.publish if server else None)
         samples = session.renderer.progress.accumulated_samples
         if samples:
             from wavefront_path_tracer_tpu.utils.image import (
@@ -412,6 +429,16 @@ def main(argv=None) -> int:
 
             write_png(args.preview, _dt(r.accumulated, r.samples,
                                         args.tonemap))
+        if server is not None:
+            from wavefront_path_tracer_tpu.utils.image import (
+                display_transform as _dts)
+
+            server.publish(_dts(r.accumulated, r.samples, args.tonemap),
+                           samples=r.samples,
+                           target_spp=cfg.samples_per_pixel,
+                           mrays_per_s=r.mrays_per_s,
+                           fps=fps.get_avg_fps(),
+                           frame=renderer.progress.frame, done=False)
         if args.preview_term:
             from wavefront_path_tracer_tpu.utils.preview import term_preview_frame
 
@@ -455,6 +482,16 @@ def main(argv=None) -> int:
 
     write_png(args.out, display_transform(result.accumulated,
                                           result.samples, args.tonemap))
+    if server is not None:
+        # Final present: push the finished frame and flag completion so
+        # open viewer tabs show "done" before the process exits.
+        server.publish(display_transform(result.accumulated, result.samples,
+                                         args.tonemap),
+                       samples=result.samples,
+                       target_spp=cfg.samples_per_pixel,
+                       mrays_per_s=result.mrays_per_s,
+                       fps=fps.get_avg_fps(),
+                       frame=renderer.progress.frame, done=True)
     if args.aov:
         from wavefront_path_tracer_tpu.aov import render_aovs, write_aovs
 

@@ -41,8 +41,8 @@ def to_u8(image: np.ndarray) -> np.ndarray:
     return (np.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) float [0,1] or uint8 image as PNG."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) float [0,1] or uint8 image as PNG bytes."""
     if image.dtype != np.uint8:
         image = to_u8(image)
     h, w, _ = image.shape
@@ -55,14 +55,18 @@ def write_png(path: str, image: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) float [0,1] or uint8 image as PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(image))
 
 
 def read_png(path: str) -> np.ndarray:
