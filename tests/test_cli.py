@@ -142,3 +142,36 @@ def test_cli_scene_default_camera(tmp_path):
     assert img.max() > 150
     assert SCENE_CAMERAS["cornell_spheres"]["vfov"] == 36.0
     assert build_parser().get_default("vfov") is None
+
+
+def test_cli_defaults_match_render_config():
+    """Every CLI flag that maps onto a RenderConfig field must default
+    to the RenderConfig default (or to None = "use the config default"),
+    so flag/config drift like the round-4 --tex-lut 2048-vs-8192 split
+    cannot recur."""
+    import dataclasses
+
+    from wavefront_path_tracer_tpu.cli import build_parser
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+    args = build_parser().parse_args([])
+    cfg = RenderConfig()
+    fields = {f.name: f.default for f in dataclasses.fields(RenderConfig)}
+    mapping = {  # CLI dest -> RenderConfig field
+        "width": "width", "height": "height",
+        "spp": "samples_per_pixel", "spf": "samples_per_frame",
+        "max_bounces": "max_bounces", "frame": "frame",
+        "block_tiles": "block_tiles", "recluster": "recluster",
+        "sampler": "sampler", "rr": "rr_start_bounce",
+        "rr_floor": "rr_floor", "clamp": "clamp",
+        "until_delta": "stop_delta", "tex_lut": "tex_lut_max",
+        "winner_hint": "winner_hint",
+    }
+    for dest, field in mapping.items():
+        cli_default = getattr(args, dest)
+        if cli_default is None:
+            continue  # None = defer to the RenderConfig default
+        assert cli_default == fields[field], (
+            f"--{dest.replace('_', '-')} defaults to {cli_default!r} but "
+            f"RenderConfig.{field} defaults to {fields[field]!r}")
+    assert cfg.tex_lut_max == 8192  # the documented knee (exp/texlut.py)

@@ -107,6 +107,58 @@ def test_stream_pushes_frames(server):
     assert parts[0] != parts[1]
 
 
+def _post(port, path, body: bytes):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, r.read()
+
+
+def test_input_endpoint_queues_keys(server):
+    """POST /input queues keys for the render loop; pop_keys drains."""
+    status, _ = _post(server.port, "/input", b"wj")
+    assert status == 200
+    assert server.pop_keys() == "wj"
+    assert server.pop_keys() == ""  # drained
+
+
+def test_input_backlog_is_bounded(server):
+    server.push_keys("w" * 1000)
+    assert len(server.pop_keys()) <= 256
+
+
+def test_viewer_page_captures_keyboard(server):
+    status, _, body = _get(server.port, "/")
+    assert status == 200
+    assert b"keydown" in body and b"/input" in body
+
+
+def test_browser_keys_steer_camera(server):
+    """A key POSTed to /input drives the camera through
+    interactive_loop — the served window both shows AND steers,
+    closing the loop with the reference's windowed input path
+    (app.rs:74-121 + gui.rs:63-199)."""
+    import io
+
+    from wavefront_path_tracer_tpu.app import (
+        InteractiveSession, interactive_loop)
+    from wavefront_path_tracer_tpu.scene import (
+        CameraController, book_cover)
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1,
+                       max_bounces=2, engine="megakernel")
+    session = InteractiveSession(
+        book_cover(), CameraController.book_one_final(), cfg)
+    yaw0 = session.camera.camera.yaw
+    _post(server.port, "/input", b"j")   # look left 5 degrees
+    _post(server.port, "/input", b"x")   # quit
+    interactive_loop(session, input_stream=io.StringIO(""),
+                     show_term=False, stream=io.StringIO(),
+                     key_source=server.pop_keys, max_frames=3)
+    assert session.camera.camera.yaw != yaw0
+
+
 def test_cli_serve_end_to_end(tmp_path, monkeypatch):
     """--serve publishes every frame batch and the final done frame."""
     from wavefront_path_tracer_tpu import cli

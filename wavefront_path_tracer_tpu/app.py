@@ -114,7 +114,8 @@ class InteractiveSession:
 def interactive_loop(session: InteractiveSession, out_png: str | None = None,
                      max_frames: int | None = None, stream=None,
                      input_stream=None, show_term: bool | None = None,
-                     publish=None) -> int:
+                     publish=None, key_source=None,
+                     tonemap: str = "gamma2") -> int:
     """Live watch-and-steer loop — the reference's continuous redraw +
     input path (``app.rs:102-121``), headless.
 
@@ -123,6 +124,14 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
     restarts on any change, ``path_tracer.rs:240-277``), render one SPF
     batch, and redraw the preview (ANSI terminal and/or PNG).  Converged
     frames idle (no re-render) until input arrives.
+
+    ``key_source`` (optional) is a zero-arg callable returning any
+    pending key characters from a second input channel — the --serve
+    browser window's POSTed keydowns (``PreviewServer.pop_keys``) — so
+    the served page both displays and steers, closing the loop with the
+    reference's windowed input semantics.  With a key_source attached,
+    stdin EOF does not end the session (the browser can still steer);
+    'x' from either channel quits.
 
     Keys: w/a/s/d move, q/e up/down, i/k/j/l look up/down/left/right,
     [ ] vfov -/+, p save PNG, x quit.  Returns frames rendered.
@@ -169,7 +178,10 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
     try:
         while max_frames is None or frames < max_frames:
             moved = False
-            for ch in pending_keys():
+            keys = pending_keys()
+            if key_source is not None:
+                keys += key_source() or ""
+            for ch in keys:
                 c = ch.lower()
                 if c == "x":
                     return frames
@@ -202,7 +214,7 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
 
             if session.progress >= 1.0 and not moved \
                     and session.renderer.progress.accumulated_samples:
-                if eof:
+                if eof and key_source is None:
                     break  # converged and no more input can arrive
                 time.sleep(0.05)  # converged: idle until input
                 continue
@@ -233,11 +245,13 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
                 write_png(out_png, display_transform(
                     result.accumulated, samples))
             if publish is not None:
-                publish(result.image, samples=result.samples,
+                publish(display_transform(result.accumulated,
+                                          max(1, result.samples), tonemap),
+                        samples=result.samples,
                         target_spp=session.renderer.config.samples_per_pixel,
                         mrays_per_s=result.mrays_per_s,
                         fps=session.fps.get_avg_fps(), frame=frames,
-                        done=False)
+                        done=False, steerable=key_source is not None)
     finally:
         if old_attrs is not None:
             import termios

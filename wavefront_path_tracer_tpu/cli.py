@@ -72,10 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AA sampler: 'random' (reference semantics) or "
                         "'stratified' (4x4 stratum AA jitter, unbiased, "
                         "lower variance at low spp; all engines)")
-    p.add_argument("--tex-lut", type=int, default=2048, metavar="TEXELS",
+    p.add_argument("--tex-lut", type=int, default=None, metavar="TEXELS",
                    help="fused/baked: texel budget per image-texture "
                         "LUT (higher = closer to the XLA engines' "
-                        "full-res sampling, costlier select tree)")
+                        "full-res sampling, costlier select tree; "
+                        "default: the RenderConfig default)")
     p.add_argument("--winner-hint", action="store_true",
                    help="fused/baked culled: prepass-test each lane's "
                         "last winner cluster to tighten the cull cap "
@@ -144,7 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "are pushed to the browser as they converge "
                         "(multipart stream — the headless-TPU analog of "
                         "the reference's swapchain present, "
-                        "display.rs:112-150); 0 picks a free port")
+                        "display.rs:112-150); 0 picks a free port; with "
+                        "--interactive the page's keyboard steers the "
+                        "camera (wasd/qe/ikjl/[], x quits)")
+    p.add_argument("--serve-host", default="127.0.0.1", metavar="ADDR",
+                   help="bind address for --serve (default loopback; "
+                        "the endpoints carry no auth, so binding "
+                        "0.0.0.0 to view remotely is an explicit "
+                        "opt-in)")
     p.add_argument("--interactive", action="store_true",
                    help="live watch-and-steer session (the reference's "
                         "app.rs:102-121 loop, headless): renders "
@@ -313,17 +321,21 @@ def main(argv=None) -> int:
     else:
         cc.focus_distance = float(focus)
 
+    overrides = {}
+    if args.tex_lut is not None:
+        overrides["tex_lut_max"] = args.tex_lut
     cfg = RenderConfig(
         width=args.width, height=args.height,
         samples_per_pixel=args.spp, samples_per_frame=args.spf,
         max_bounces=args.max_bounces, frame=args.frame,
         engine=args.engine, intersector=intersector,
         baked_clusters=clusters, block_tiles=args.block_tiles,
-        winner_hint=args.winner_hint, tex_lut_max=args.tex_lut,
+        winner_hint=args.winner_hint,
         recluster=args.recluster,
         sampler=args.sampler,
         rr_start_bounce=args.rr, rr_floor=args.rr_floor,
         clamp=args.clamp, stop_delta=args.until_delta,
+        **overrides,
     )
 
     server = None
@@ -331,7 +343,7 @@ def main(argv=None) -> int:
         from wavefront_path_tracer_tpu.utils.preview_server import (
             PreviewServer)
 
-        server = PreviewServer(port=args.serve)
+        server = PreviewServer(port=args.serve, host=args.serve_host)
         if not args.quiet:
             print(f"live render window: http://localhost:{server.port}/",
                   file=sys.stderr)
@@ -350,15 +362,20 @@ def main(argv=None) -> int:
         session = InteractiveSession(scene, cc, cfg, triangles=triangles)
         interactive_loop(session, out_png=args.preview or args.out,
                          show_term=args.preview_term or None,
-                         publish=server.publish if server else None)
+                         publish=server.publish if server else None,
+                         key_source=server.pop_keys if server else None,
+                         tonemap=args.tonemap)
         samples = session.renderer.progress.accumulated_samples
         if samples:
             from wavefront_path_tracer_tpu.utils.image import (
                 display_transform)
 
-            write_png(args.out, display_transform(
+            final = display_transform(
                 session.renderer._accum.reshape(cfg.height, cfg.width, 3),
-                samples))
+                samples, args.tonemap)
+            write_png(args.out, final)
+            if server:
+                server.publish(final, samples=samples, done=True)
             if not args.quiet:
                 print(f"wrote {args.out} @ {samples} spp", file=sys.stderr)
         return 0

@@ -12,10 +12,15 @@ to a swapchain present as HTTP gets.
 
 Endpoints:
 
-* ``/``            viewer page (live <img> on /stream + status ticker)
+* ``/``            viewer page (live <img> on /stream + status ticker +
+  keyboard capture: the page POSTs keydowns to /input, so the browser
+  window both shows AND steers — the full analog of the reference's
+  winit input path, ``app.rs:74-121`` + ``gui.rs:63-199``)
 * ``/stream``      multipart PNG push stream (one part per published frame)
 * ``/frame.png``   latest frame, single shot (curl-able)
 * ``/status.json`` render progress (spp, Mrays/s, fps, frame index)
+* ``/input``       POST body = key characters, queued for the render
+  loop (``pop_keys()``); same key map as ``--interactive``
 
 Zero dependencies (stdlib ``http.server`` + the repo's own PNG encoder);
 the server runs in daemon threads and never blocks the render loop —
@@ -50,9 +55,20 @@ _PAGE = """<!doctype html>
       const r = await (await fetch("/status.json")).json();
       s.textContent = `${r.samples}/${r.target_spp} spp  ` +
         `${r.mrays_per_s.toFixed(1)} Mrays/s  ${r.fps.toFixed(1)} fps  ` +
-        `frame ${r.frame}` + (r.done ? "  — done" : "");
+        `frame ${r.frame}` + (r.done ? "  — done" : "") +
+        (r.steerable ? "  —  keys: wasd/qe move, ikjl look, [] vfov"
+                     : "");
     } catch (e) { s.textContent = "render ended"; }
   }, 500);
+  // Keyboard steering: forward the interactive key map to the render
+  // loop (only consumed when the session runs with --interactive).
+  document.addEventListener("keydown", (ev) => {
+    const k = ev.key.toLowerCase();
+    if ("wasdqeikjl[]px".includes(k) && k.length === 1) {
+      fetch("/input", { method: "POST", body: k });
+      ev.preventDefault();
+    }
+  });
 </script>
 """
 
@@ -62,14 +78,20 @@ class PreviewServer:
     render loop; HTTP handler threads block on the condition variable
     and re-send whenever the sequence number advances."""
 
-    def __init__(self, port: int = 0, host: str = "0.0.0.0"):
+    def __init__(self, port: int = 0, host: str = "127.0.0.1"):
+        # Default bind is loopback: the stream and input endpoints have
+        # no auth, so exposing them beyond the host is an explicit
+        # opt-in (--serve-host 0.0.0.0).
         self._cond = threading.Condition()
         self._png: bytes | None = None
         self._seq = 0
         self._status: dict = {"samples": 0, "target_spp": 0,
                               "mrays_per_s": 0.0, "fps": 0.0,
-                              "frame": 0, "done": False}
+                              "frame": 0, "done": False,
+                              "steerable": False}
         self._closed = False
+        self._keys_lock = threading.Lock()
+        self._keys = ""
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -122,6 +144,16 @@ class PreviewServer:
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                if path == "/input":
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = self.rfile.read(min(n, 4096))
+                    server.push_keys(body.decode("utf-8", "replace"))
+                    self._send(200, "text/plain", b"ok\n")
+                else:
+                    self._send(404, "text/plain", b"not found\n")
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
@@ -153,6 +185,19 @@ class PreviewServer:
             if self._closed:
                 return None, seen
             return self._png, self._seq
+
+    def push_keys(self, keys: str) -> None:
+        """Queue key characters from a /input POST (handler threads)."""
+        with self._keys_lock:
+            # Bound the backlog: an unread queue (no --interactive
+            # consumer) must not grow without limit.
+            self._keys = (self._keys + keys)[-256:]
+
+    def pop_keys(self) -> str:
+        """Drain queued browser keystrokes (render loop; never blocks)."""
+        with self._keys_lock:
+            keys, self._keys = self._keys, ""
+            return keys
 
     def close(self) -> None:
         with self._cond:

@@ -76,8 +76,10 @@ def main(argv=None) -> int:
     p.add_argument("--sampler", default="random",
                    help="AA sampler for the engine under test "
                         "(random | stratified)")
-    p.add_argument("--tex-lut", type=int, default=2048,
-                   help="fused: image-texture LUT texel budget")
+    p.add_argument("--tex-lut", type=int, default=None,
+                   help="fused: image-texture LUT texel budget "
+                        "(default: the RenderConfig default, so gates "
+                        "exercise the shipping budget)")
     p.add_argument("--test-platform", default=None,
                    help="device platform for the engine under test "
                         "(cpu | tpu; default = process default)")
@@ -174,7 +176,8 @@ def main(argv=None) -> int:
             lane_split=args.lane_split,
             lane_rotate_cols=args.rotate_cols, recluster=args.recluster,
             material_split=args.material_split, sampler=args.sampler,
-            tex_lut_max=args.tex_lut,
+            **({} if args.tex_lut is None
+               else {"tex_lut_max": args.tex_lut}),
             samples_per_frame=min(args.spp, 200)))
     t_test = time.time() - t0
     print(f"test engine done in {t_test:.1f}s "
