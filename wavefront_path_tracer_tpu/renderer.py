@@ -158,6 +158,10 @@ class Renderer:
 
     def __init__(self, scene: Scene, camera: CameraController,
                  config: RenderConfig, triangles=None, stage_timer=None):
+        # The platform choice is final by the time a Renderer exists,
+        # so this is the earliest safe point to attach the persistent
+        # compile cache (TPU-only; see utils/compile_cache.py).
+        compile_cache.activate()
         if (triangles is not None and config.engine == "fused"
                 and config.intersector != "baked"
                 and config.baked_clusters == 0):
