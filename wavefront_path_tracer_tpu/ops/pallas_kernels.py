@@ -1488,6 +1488,11 @@ def baked_culled_intersect(centers, radii, albedo, fuzz, refract_idx,
     intersect.n_clustered_items = (
         sum(len(c[2]) for c in sph_hier[0])
         + sum(len(c[2]) for c in tri_hier[0]))
+    # Cluster AABBs in visit order (lo, hi per cluster) — measurement
+    # hook for exp/bounce0.py's frustum-shortlist comparison.
+    intersect.cluster_aabbs = (
+        [(c[0], c[1]) for c in sph_hier[0]]
+        + [(c[0], c[1]) for c in tri_hier[0]])
     return intersect
 
 
