@@ -45,6 +45,16 @@ PAIR_CEILING = 146.3e9
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "golden", "LAST_GOOD_BENCH.json")
 
+# Driver-tracked mesh rows (key, scene, w, h, spp, intersector), all
+# fused/cull16: the production baked terrain path, the dynamic-culled
+# terrain path, and the 50k-triangle torus knot (the incoherent-ray
+# stress scene; small spp — it runs ~0.6-2 Mrays/s).
+MESH_ROWS = [
+    ("terrain_baked", "mesh_terrain", 800, 448, 32, "baked"),
+    ("terrain_dynamic", "mesh_terrain", 800, 448, 32, "bruteforce"),
+    ("knot50k_dynamic", "mesh_knot50k", 800, 448, 8, "bruteforce"),
+]
+
 
 def _roofline(engine: str, intersector: str, clusters: int, arrays,
               camera_pos, stats, dt: float):
@@ -122,9 +132,29 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         from wavefront_path_tracer_tpu.scene.mesh import mesh_terrain_scene
 
         scene, triangles = mesh_terrain_scene()
+    elif scene_name.startswith("mesh_knot"):
+        # Procedural torus knot (examples/gen_obj.py), e.g.
+        # "mesh_knot50k" — the incoherent-ray mesh stress scene.
+        from examples.gen_obj import torus_knot
+        from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder
+
+        tris = int(scene_name[len("mesh_knot"):-1]) * 1000 \
+            if scene_name.endswith("k") else 50000
+        b = MeshSceneBuilder()
+        b.sphere([0.0, -1000.0, 0.0], 1000.0,
+                 b.lambertian([0.5, 0.5, 0.5]))
+        v, f = torus_knot(tris)
+        b.mesh(v, f, b.lambertian([0.7, 0.3, 0.2]))
+        scene, triangles = b.build_mesh_scene()
     else:
         scene = get_scene(scene_name)
     cc = CameraController.book_one_final()
+    if scene_name.startswith("mesh_knot"):
+        # Frame the knot (the book camera points away from the origin
+        # cluster); matches exp/knotbench.py so rows are comparable.
+        cc.camera = cc.camera.look_at([0.0, 1.5, 4.0], [0.0, 0.0, 0.0])
+        cc.vfov_deg = 40.0
+        cc.defocus_angle_deg = 0.0
     arrays = prepare_scene(scene, cfg, triangles=triangles)
     view = jnp.asarray(cc.view_matrix())
     inv_proj = jnp.asarray(cc.inverse_projection(cfg.width, cfg.height))
@@ -329,20 +359,26 @@ def worker_main(args) -> None:
             "issue ceiling (exp/pair_ceiling.py, slope-timed)")
     if (not args.no_mesh_row and not args.all and not mesh_spec
             and args.scene == "book_one_final"):
-        # Tracked mesh row (BASELINE measurement config 5: OBJ mesh
-        # scene): catches large-scene regressions the sphere headline
-        # can't see.  Crash-proof — a mesh failure must never cost the
-        # headline record; the error is recorded in its place.
-        try:
-            m = bench_once("mesh_terrain", 800, 448, 32, "fused",
-                           "bruteforce", args.max_bounces, clusters=16)
-            print(f"mesh row {m['config']}: {m['mrays_per_s']:.2f} "
-                  f"Mrays/s", file=sys.stderr)
-            out["mesh"] = {"config": f"{m['config']}, {m['scene']}",
-                           "value": round(m["mrays_per_s"], 2),
-                           "unit": "Mrays/s"}
-        except Exception as e:
-            out["mesh"] = {"error": f"mesh row failed: {e}"}
+        # Tracked mesh rows (BASELINE measurement config 5: OBJ mesh
+        # scenes): catch large-scene regressions the sphere headline
+        # can't see, on the BEST-KNOWN config for each scene (r4
+        # VERDICT: tracking only the slow dynamic path made the
+        # production baked mesh path invisible to the driver record).
+        # Crash-proof — a mesh failure must never cost the headline
+        # record; the error is recorded in that row's place.
+        out["mesh"] = {}
+        for key, m_scene, mw, mh, mspp, m_int in MESH_ROWS:
+            try:
+                m = bench_once(m_scene, mw, mh, mspp, "fused", m_int,
+                               args.max_bounces, clusters=16)
+                print(f"mesh row {key} {m['config']}: "
+                      f"{m['mrays_per_s']:.2f} Mrays/s", file=sys.stderr)
+                out["mesh"][key] = {
+                    "config": f"{m['config']}, {m['scene']}",
+                    "value": round(m["mrays_per_s"], 2),
+                    "unit": "Mrays/s"}
+            except Exception as e:
+                out["mesh"][key] = {"error": f"mesh row failed: {e}"}
     print(json.dumps(out))
 
 

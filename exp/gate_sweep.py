@@ -48,9 +48,11 @@ GOLDEN = os.path.join(ROOT, "golden", "oracle_book_400x225_1000spp.npz")
 TPU_ORACLE = os.path.join(ROOT, "golden", "oracle_tpu_same_stream.npz")
 
 # Same-stream rows: (name, extra validate.py args).  All run
-# book_one_final 400x225@64 fused-vs-megakernel on TPU unless a row
-# overrides --scene (texture rows reuse book_checker, which carries a
-# checker ground AND a 64x32 image texture).
+# book_one_final 400x224@64 fused-vs-megakernel on TPU (height 224 =
+# 28 sublanes x 8, the tile-aligned size nearest the 400x225 golden
+# spec) unless a row overrides --scene (texture rows reuse
+# book_checker, which carries a checker ground AND a 64x32 image
+# texture).
 #
 # Gate calibration (measured r4 on TPU): fused-vs-megakernel at 64 spp
 # floors at 1.32e-3 (baked/cull16, winner attrs packed) / 1.37e-3
@@ -156,6 +158,12 @@ def main() -> int:
         return 0
 
     only = set(opts.only.split(",")) if opts.only else None
+    if only:
+        known = {n for n, _a, _g, _k in rows_spec}
+        unknown = sorted(only - known)
+        if unknown:
+            ap.error(f"--only names not in the sweep: {unknown} "
+                     f"(see --list)")
     existing = {}
     if only and os.path.exists(OUT):
         with open(OUT) as f:
@@ -163,12 +171,18 @@ def main() -> int:
 
     def flush(results):
         n_pass = sum(1 for r in results if r.get("pass"))
+        n_skip = sum(1 for r in results if r.get("skipped"))
+        # Skipped rows (golden artifact absent) are excluded from
+        # all_pass and the exit code: they record "not run", not
+        # "failed" (ADVICE r4 — a fresh checkout without the 1000-spp
+        # artifact must not report failing gates it never executed).
         summary = {
             "rows": results,
             "passed": n_pass,
+            "skipped": n_skip,
             "total": len(results),
-            "all_pass": n_pass == len(results),
-            "complete": len(results) == len(rows_spec),
+            "all_pass": n_pass == len(results) - n_skip,
+            "complete": len(results) == len(rows_spec) and n_skip == 0,
             "note": "same-stream rows: fused-variant vs megakernel "
                     "oracle, both on TPU at equal spp (shared RNG "
                     "streams -> MC noise cancels; catches Mosaic "
@@ -188,6 +202,7 @@ def main() -> int:
         if kind == "golden":
             if not os.path.exists(GOLDEN):
                 results.append({"name": name, "ok": False, "pass": False,
+                                "skipped": True,
                                 "error": f"golden artifact {GOLDEN} absent"
                                          " (run exp/make_golden.py)"})
                 continue
@@ -214,8 +229,11 @@ def main() -> int:
     # Final flush: kept-from-existing rows appended *after* the last
     # run row (the --only merge path) are otherwise never written.
     summary = flush(results)
-    print(f"{summary['passed']}/{len(results)} gates pass -> {OUT}",
-          file=sys.stderr)
+    n_skip = summary["skipped"]
+    msg = f"{summary['passed']}/{len(results) - n_skip} gates pass"
+    if n_skip:
+        msg += f" ({n_skip} golden rows skipped: artifact absent)"
+    print(f"{msg} -> {OUT}", file=sys.stderr)
     return 0 if summary["all_pass"] else 1
 
 

@@ -490,8 +490,23 @@ def test_recluster_matches_oracle(book_cover_scene, oracle):
 def test_recluster_dynamic_matches_oracle(book_cover_scene, oracle):
     seg = render(book_cover_scene, _cover_camera(), BASE.replace(
         engine="fused", intersector="bruteforce", baked_clusters=16,
-        recluster=3))
+        recluster=2))
     _statistically_equal(seg, oracle)
+
+
+def test_recluster_above_two_refused():
+    """K > 2 is refused up front: recluster=4 was measured to crash the
+    TPU worker (BENCHMARKS.md round 4 — the fused segment sort's scoped
+    VMEM), and a shipped flag value must fail with an actionable error,
+    not take down the device."""
+    import pytest
+
+    from wavefront_path_tracer_tpu.utils.config import RenderConfig
+
+    with pytest.raises(ValueError, match="crashes the TPU worker"):
+        RenderConfig(width=8, height=8, samples_per_pixel=1, recluster=3)
+    with pytest.raises(ValueError, match="recluster must be <= 2"):
+        RenderConfig(width=8, height=8, samples_per_pixel=1, recluster=4)
 
 
 def test_recluster_triangles_match_oracle():

@@ -175,6 +175,19 @@ class RenderConfig:
             raise ValueError(
                 f"recluster must be >= 0, got {self.recluster} "
                 "(0 disables segment re-sorting)")
+        if self.recluster > 2:
+            # Measured, not hypothetical: recluster=4 repeatably crashes
+            # the TPU worker (round-4 BENCHMARKS: the fused 8-key sort's
+            # scoped VMEM at K>=3 segment sizes exceeds what Mosaic can
+            # schedule and takes down the device, not the process).  A
+            # shipped flag must not kill the worker, so refuse up front.
+            raise ValueError(
+                f"recluster must be <= 2, got {self.recluster}: segment "
+                "counts above 2 are refused because the fused segment "
+                "sort at K>=3 crashes the TPU worker (measured at K=4, "
+                "BENCHMARKS.md round 4). Use recluster=2, which doubles "
+                "segment lengths after the second segment and covers "
+                "deep bounce chains already")
         if self.recluster > 0 and self.winner_hint:
             raise ValueError(
                 "recluster and winner_hint are mutually exclusive: the "
