@@ -91,7 +91,7 @@ def _roofline(engine: str, intersector: str, clusters: int, arrays,
             pack_culled_scene)
 
         (_, _, _, _, _, _, _, _,
-         ngb, ncl, _, _, _) = pack_culled_scene(
+         ngb, ncl, _, _, _, _) = pack_culled_scene(
             arrays, cluster_size=clusters, camera_hint=camera_pos)
         pairs = iters * ngb * 8 * lanes + entered * clusters * lanes
     else:

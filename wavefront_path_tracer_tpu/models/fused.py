@@ -91,12 +91,12 @@ def _dyn_tables(scene_arrays, cluster_size: int, camera_pos=None):
     hit = _DYN_CACHE.get(key)
     if hit is None:
         (scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
-         ngb, ncl, nsup, ntc, ntsup) = pack_culled_scene(
+         ngb, ncl, nsup, ntc, ntsup, pkd) = pack_culled_scene(
             scene_arrays, cluster_size=cluster_size, camera_hint=camera_pos)
         hit = ((jnp.asarray(scn), jnp.asarray(clu), jnp.asarray(sup),
                 jnp.asarray(slab), jnp.asarray(tri),
                 jnp.asarray(tri_clu), jnp.asarray(tri_sup),
-                jnp.asarray(tri_slab)), (ngb, ncl, nsup, ntc, ntsup))
+                jnp.asarray(tri_slab)), (ngb, ncl, nsup, ntc, ntsup, pkd))
         _DYN_CACHE[key] = hit
         while len(_DYN_CACHE) > _BAKED_CACHE_MAX:
             _DYN_CACHE.popitem(last=False)
@@ -350,11 +350,12 @@ def render_samples(scene_arrays, cam, view, inv_proj, config: RenderConfig,
     dyn = None
     dyn_static = None
     if clusters > 0:
-        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup, pkd) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
-                      _static_image_luts(scene_arrays, config.tex_lut_max))
+                      _static_image_luts(scene_arrays, config.tex_lut_max),
+                      pkd)
     if config.recluster > 0:
         if dyn is None:
             raise NotImplementedError(
@@ -388,11 +389,12 @@ def render_samples_with_stats(scene_arrays, cam, view, inv_proj,
     dyn = None
     dyn_static = None
     if baked_fn is None and clusters > 0:
-        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup, pkd) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
-                      _static_image_luts(scene_arrays, config.tex_lut_max))
+                      _static_image_luts(scene_arrays, config.tex_lut_max),
+                      pkd)
     if config.recluster > 0:
         if baked_fn is None and dyn is None:
             raise NotImplementedError(
@@ -479,10 +481,11 @@ def stage_timing(scene_arrays, cam, view, inv_proj, config: RenderConfig,
 
     dyn = dyn_static = None
     if dynamic:
-        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup, pkd) = _dyn_tables(
             scene_arrays, clusters, camera_pos=eye)
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
-                      _static_image_luts(scene_arrays, config.tex_lut_max))
+                      _static_image_luts(scene_arrays, config.tex_lut_max),
+                      pkd)
 
     def timed(variant: str) -> float:
         pk.PROBE = frozenset() if variant is None else frozenset([variant])
@@ -610,7 +613,8 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             sampler=config.sampler,
         )
     elif dyn_tables is not None:
-        ngb, ncl, nsup, ntc, ntsup, csize, image_luts = dyn_static
+        (ngb, ncl, nsup, ntc, ntsup, csize, image_luts,
+         pkd) = dyn_static
         rad_r, rad_g, rad_b, rays = fused_render_dynculled(
             *dyn_tables, salts, cam_params, pix, xs, ys, valid, soff,
             n_global_blocks=ngb, n_clusters=ncl, n_supers=nsup,
@@ -626,6 +630,7 @@ def render_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
             # Keys the jit cache on the active stage-timing probe set
             # (the kernel reads pallas_kernels.PROBE at trace time).
             probe=frozenset(_pk.PROBE),
+            packed_attrs=pkd,
         )
     else:
         scene_packed = pack_scene(scene_arrays)
@@ -778,12 +783,14 @@ def render_pixels_recluster(pixel_idx, scene_arrays, cam, view, inv_proj,
         if baked_fn is not None:
             return fused_segment_baked(baked_fn, salts, pix_t, samp_t,
                                        state, **common)
-        ngb, ncl, nsup, ntc, ntsup, csize, image_luts = dyn_static
+        (ngb, ncl, nsup, ntc, ntsup, csize, image_luts,
+         pkd) = dyn_static
         return fused_segment_dynculled(
             *dyn_tables, salts, pix_t, samp_t, state,
             n_global_blocks=ngb, n_clusters=ncl, n_supers=nsup,
             n_tri_clusters=ntc, n_tri_supers=ntsup, cluster_size=csize,
-            image_luts=image_luts, probe=frozenset(_pk.PROBE), **common)
+            image_luts=image_luts, probe=frozenset(_pk.PROBE),
+            packed_attrs=pkd, **common)
 
     def one_sample(s, carry):
         acc, rays_tot, iters, sups, clus = carry

@@ -1542,7 +1542,7 @@ def _super_group(clu_tabs, aabbs, cluster_size, ncols, hint_order):
 
 def pack_culled_scene(scene_arrays, cluster_size: int = 16,
                       global_radius_factor: float = 10.0,
-                      camera_hint=None):
+                      camera_hint=None, pack_attrs: bool = True):
     """Host-side tables for the *dynamic* culled intersector.
 
     Unlike the baked path (scene as compile-time constants, per-scene
@@ -1572,9 +1572,24 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     xyz, e2 xyz, unit normal xyz, albedo rgb, fuzz, ior, mat_type),
     tri_clu (TC, 8), tri_sup (TS, 8), tri_slab (1, 8),
     n_global_blocks, n_clusters, n_supers, n_tri_clusters,
-    n_tri_supers) — the last five are python ints (static kernel
-    structure).  With supers, n_clusters counts NaN padding up to a
-    super multiple.
+    n_tri_supers, attrs_packed) — the five counts are python ints
+    (static kernel structure).  With supers, n_clusters counts NaN
+    padding up to a super multiple.
+
+    ``attrs_packed`` (bool, static): with ``pack_attrs`` and every
+    albedo in [0, 1] (same precondition as the baked path's
+    _pack_albedo_ok), the winner (albedo rgb, material id) is packed
+    16:16 into two int32 words whose BITS ride the f32 table — sphere
+    cols 4-5 and triangle cols 12-13 (replacing albedo r/g; b and mat
+    stay in their columns for debugging but the packed kernel never
+    reads them).  The kernel bitcasts the loaded block back to int32
+    (measured bit-exact through the numpy->VMEM path incl. NaN-pattern
+    payloads) and the winner carry shrinks by 2 selects per primitive
+    pair and 2 VMEM refs per cluster-entry restage — the baked path's
+    pack_attrs (+106% on the 50k-tri knot) applied to the dynamic
+    tables (exp/tripair.py: +19.5% pair rate before the restage win).
+    make_dynamic_culled_intersect must be built with the matching
+    ``packed_attrs`` flag.
     """
     import numpy as np
 
@@ -1589,6 +1604,23 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
     if textured:
         tex_a2 = np.asarray(scene_arrays["tex_albedo2"], np.float32)
         tex_sc = np.asarray(scene_arrays["tex_scale"], np.float32)
+
+    def _pk_words(alb, mt_col):
+        """16:16 albedo+mat words as f32 BIT patterns (see docstring)."""
+        q = np.clip(np.round(alb.astype(np.float64) * 65535.0),
+                    0, 65535).astype(np.int64)
+        pk1 = (q[:, 0] << 16) | q[:, 1]
+        pk2 = (q[:, 2] << 16) | mt_col.astype(np.int64)
+        pk = np.stack([pk1, pk2], axis=1)
+        pk = np.where(pk >= (1 << 31), pk - (1 << 32), pk)
+        return pk.astype(np.int32).view(np.float32)
+
+    attrs_packed = bool(pack_attrs) and bool(
+        (albedo >= 0.0).all() and (albedo <= 1.0).all())
+    if attrs_packed and "tri_v0" in scene_arrays \
+            and scene_arrays["tri_v0"].shape[0] > 0:
+        _ta = np.asarray(scene_arrays["tri_albedo"], np.float64)
+        attrs_packed = bool((_ta >= 0.0).all() and (_ta <= 1.0).all())
 
     med_r = float(np.median(radii))
     is_global = radii > global_radius_factor * med_r
@@ -1633,6 +1665,8 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
         if textured:
             out[:n, 16:19] = tex_a2[idx]
             out[:n, 19] = tex_sc[idx]
+        if attrs_packed:
+            out[:n, 4:6] = _pk_words(albedo[idx], mat[idx])
         return out
 
     g_tab = rows(g_idx, 8)
@@ -1721,6 +1755,8 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
             tab[:m, 15] = t_fz[idx]
             tab[:m, 16] = t_io[idx]
             tab[:m, 17] = t_mt[idx]
+            if attrs_packed:
+                tab[:m, 12:14] = _pk_words(t_alb[idx], t_mt[idx])
             t_tabs.append(tab)
             lo = verts[idx].min(axis=(0, 1))
             hi = verts[idx].max(axis=(0, 1))
@@ -1739,7 +1775,7 @@ def pack_culled_scene(scene_arrays, cluster_size: int = 16,
 
     return (scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
             n_global_blocks, n_clusters, n_supers,
-            n_tri_clusters, n_tri_supers)
+            n_tri_clusters, n_tri_supers, attrs_packed)
 
 
 def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
@@ -1750,7 +1786,8 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                                   n_tri_clusters: int = 0,
                                   sup_ref=None, n_supers: int = 0,
                                   tri_sup_ref=None,
-                                  n_tri_supers: int = 0):
+                                  n_tri_supers: int = 0,
+                                  packed_attrs: bool = False):
     """Dynamic-table consensus-culled intersect (see pack_culled_scene).
 
     Same cull semantics as :func:`baked_culled_intersect` (Morton leaf
@@ -1788,6 +1825,15 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
     # triangles — interface positions are fixed).
     textured = scn_ref.shape[1] >= 20
     nfld = 19 if textured else (15 if has_tris else 11)
+    # Winner-attribute packing (pack_culled_scene attrs_packed): the
+    # four (albedo rgb, mat) float selects collapse into two int32
+    # selects on words bit-punned into table cols 4-5 / 12-13; the
+    # carry drops 2 fields (layout: t, cx, cy, cz, ir, pk1, pk2, fz,
+    # io, [nx, ny, nz, it], [tex4]) and is decoded back to the legacy
+    # 11/15/19-field interface once per call, after the whole sweep.
+    if packed_attrs:
+        nfld -= 2
+    _PKD = 5  # first packed carry slot when packed_attrs (int32)
 
     def sphere_block(blk, carry, quad):
         # Issue-rate-slimmed quadratic on table columns (see
@@ -1802,10 +1848,17 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
         # Directions are unit (a == 1) and a negative discriminant
         # propagates NaN, which never wins a compare.
         oxp, oyp, ozp, hdx, hdy, hdz, dd_o, oo2 = quad
+        blki = (jax.lax.bitcast_convert_type(blk, jnp.int32)
+                if packed_attrs else None)
         for j in range(8):
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt) = carry[:11]
-            rest = carry[11:]
+            if packed_attrs:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_pk1, b_pk2,
+                 b_fz, b_io) = carry[:9]
+                rest = carry[9:]
+            else:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                 b_fz, b_io, b_mt) = carry[:11]
+                rest = carry[11:]
             cx, cy, cz = blk[j, 0], blk[j, 1], blk[j, 2]
             nb = (hdx * blk[j, 12] + hdy * blk[j, 13]
                   + hdz * blk[j, 14]) - dd_o
@@ -1833,29 +1886,49 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                         jnp.where(better, blk[j, 19], rest[7]),
                     )
                 rest = upd
-            carry = (
-                jnp.where(better, t, best_t),
-                jnp.where(better, cx, b_cx),
-                jnp.where(better, cy, b_cy),
-                jnp.where(better, cz, b_cz),
-                jnp.where(better, blk[j, 11], b_ir),
-                jnp.where(better, blk[j, 4], b_ar),
-                jnp.where(better, blk[j, 5], b_ag),
-                jnp.where(better, blk[j, 6], b_ab),
-                jnp.where(better, blk[j, 7], b_fz),
-                jnp.where(better, blk[j, 8], b_io),
-                jnp.where(better, blk[j, 9], b_mt),
-            ) + rest
+            if packed_attrs:
+                carry = (
+                    jnp.where(better, t, best_t),
+                    jnp.where(better, cx, b_cx),
+                    jnp.where(better, cy, b_cy),
+                    jnp.where(better, cz, b_cz),
+                    jnp.where(better, blk[j, 11], b_ir),
+                    jnp.where(better, blki[j, 4], b_pk1),
+                    jnp.where(better, blki[j, 5], b_pk2),
+                    jnp.where(better, blk[j, 7], b_fz),
+                    jnp.where(better, blk[j, 8], b_io),
+                ) + rest
+            else:
+                carry = (
+                    jnp.where(better, t, best_t),
+                    jnp.where(better, cx, b_cx),
+                    jnp.where(better, cy, b_cy),
+                    jnp.where(better, cz, b_cz),
+                    jnp.where(better, blk[j, 11], b_ir),
+                    jnp.where(better, blk[j, 4], b_ar),
+                    jnp.where(better, blk[j, 5], b_ag),
+                    jnp.where(better, blk[j, 6], b_ab),
+                    jnp.where(better, blk[j, 7], b_fz),
+                    jnp.where(better, blk[j, 8], b_io),
+                    jnp.where(better, blk[j, 9], b_mt),
+                ) + rest
         return carry
 
     def tri_block(blk, carry, ox, oy, oz, dx, dy, dz):
         # Two-sided Moller-Trumbore over one 8-triangle block (the
         # dynamic twin of baked_culled_intersect's tri_tests).  NaN
         # padding rows can never win (all compares false).
+        blki = (jax.lax.bitcast_convert_type(blk, jnp.int32)
+                if packed_attrs else None)
         for j in range(8):
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
-             b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
-            tex_rest = carry[15:]
+            if packed_attrs:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_pk1, b_pk2,
+                 b_fz, b_io, b_nx, b_ny, b_nz, b_it) = carry[:13]
+                tex_rest = carry[13:]
+            else:
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_ar, b_ag, b_ab,
+                 b_fz, b_io, b_mt, b_nx, b_ny, b_nz, b_it) = carry[:15]
+                tex_rest = carry[15:]
             v0x, v0y, v0z = blk[j, 0], blk[j, 1], blk[j, 2]
             e1x, e1y, e1z = blk[j, 3], blk[j, 4], blk[j, 5]
             e2x, e2y, e2z = blk[j, 6], blk[j, 7], blk[j, 8]
@@ -1878,20 +1951,34 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                      & (tt > T_MIN))
             tt = jnp.where(valid, tt, T_FAR)
             better = tt < best_t
-            carry = (
-                jnp.where(better, tt, best_t),
-                b_cx, b_cy, b_cz, b_ir,   # sphere fields stay stale
-                jnp.where(better, blk[j, 12], b_ar),
-                jnp.where(better, blk[j, 13], b_ag),
-                jnp.where(better, blk[j, 14], b_ab),
-                jnp.where(better, blk[j, 15], b_fz),
-                jnp.where(better, blk[j, 16], b_io),
-                jnp.where(better, blk[j, 17], b_mt),
-                jnp.where(better, blk[j, 9], b_nx),
-                jnp.where(better, blk[j, 10], b_ny),
-                jnp.where(better, blk[j, 11], b_nz),
-                jnp.where(better, 1.0, b_it),
-            )
+            if packed_attrs:
+                carry = (
+                    jnp.where(better, tt, best_t),
+                    b_cx, b_cy, b_cz, b_ir,   # sphere fields stay stale
+                    jnp.where(better, blki[j, 12], b_pk1),
+                    jnp.where(better, blki[j, 13], b_pk2),
+                    jnp.where(better, blk[j, 15], b_fz),
+                    jnp.where(better, blk[j, 16], b_io),
+                    jnp.where(better, blk[j, 9], b_nx),
+                    jnp.where(better, blk[j, 10], b_ny),
+                    jnp.where(better, blk[j, 11], b_nz),
+                    jnp.where(better, 1.0, b_it),
+                )
+            else:
+                carry = (
+                    jnp.where(better, tt, best_t),
+                    b_cx, b_cy, b_cz, b_ir,   # sphere fields stay stale
+                    jnp.where(better, blk[j, 12], b_ar),
+                    jnp.where(better, blk[j, 13], b_ag),
+                    jnp.where(better, blk[j, 14], b_ab),
+                    jnp.where(better, blk[j, 15], b_fz),
+                    jnp.where(better, blk[j, 16], b_io),
+                    jnp.where(better, blk[j, 17], b_mt),
+                    jnp.where(better, blk[j, 9], b_nx),
+                    jnp.where(better, blk[j, 10], b_ny),
+                    jnp.where(better, blk[j, 11], b_nz),
+                    jnp.where(better, 1.0, b_it),
+                )
             if tex_rest:
                 # Triangles carry no checker texture: a triangle win
                 # must zero the winner's checker scale or a stale
@@ -1947,16 +2034,37 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
             return t_exit
 
         zero = jnp.zeros(shape, f32)
-        init = (
-            jnp.full(shape, T_FAR, f32),
-            zero, zero, zero, jnp.ones(shape, f32),
-            zero, zero, zero, zero,
-            jnp.ones(shape, f32), zero,
-        )
+        if packed_attrs:
+            # Packed words 0 decode to (albedo 0,0,0, mat 0) — the
+            # same miss attributes as the unpacked init.
+            izero = jnp.zeros(shape, jnp.int32)
+            init = (
+                jnp.full(shape, T_FAR, f32),
+                zero, zero, zero, jnp.ones(shape, f32),
+                izero, izero, zero, jnp.ones(shape, f32),
+            )
+        else:
+            init = (
+                jnp.full(shape, T_FAR, f32),
+                zero, zero, zero, jnp.ones(shape, f32),
+                zero, zero, zero, zero,
+                jnp.ones(shape, f32), zero,
+            )
         if has_tris or textured:
             init = init + (zero, zero, jnp.ones(shape, f32), zero)
         if textured:
             init = init + (zero, zero, zero, zero)
+
+        def unpack_carry(vals):
+            """Decode the packed int32 words back to the legacy
+            11/15/19-field interface order (once per intersect call,
+            after the whole sweep — see baked_culled_intersect)."""
+            if not packed_attrs:
+                return tuple(vals)
+            ar, ag, ab, mt = _unpack_albedo_mat(
+                (vals[_PKD], vals[_PKD + 1]), "16")
+            return (tuple(vals[:5]) + (ar, ag, ab, vals[7], vals[8], mt)
+                    + tuple(vals[9:]))
 
         # Globals (giant spheres): always tested, establishes best_t.
         def g_step(k, carry):
@@ -1980,7 +2088,7 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
             carry = jax.lax.fori_loop(0, n_global_blocks, g_step2, carry)
         if n_clusters == 0 and not has_tris:
-            return carry + (zero, zero)
+            return unpack_carry(carry) + (zero, zero)
 
         n_conds = n_clusters + n_tri_clusters
 
@@ -2132,7 +2240,11 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
                             if "dyn_dbl_refs" in PROBE:  # perf probe:
                                 # double the per-cluster ref restage
                                 for ref in refs[:nfld]:
-                                    ref[:] = ref[:] * 1.0 + zz
+                                    if ref.dtype == jnp.int32:
+                                        ref[:] = ref[:] + (
+                                            zz).astype(jnp.int32)
+                                    else:
+                                        ref[:] = ref[:] * 1.0 + zz
                         return x
 
                     # A lax cluster loop costs ~1.7x in pair rate (no
@@ -2292,13 +2404,17 @@ def make_dynamic_culled_intersect(scn_ref, clu_ref, slab_ref,
 
         out = pl.run_scoped(
             body,
-            *[pltpu.VMEM(shape, jnp.float32) for _ in range(nfld + 2)],
+            *[pltpu.VMEM(shape,
+                         jnp.int32
+                         if packed_attrs and _PKD <= i < _PKD + 2
+                         else jnp.float32)
+              for i in range(nfld + 2)],
             pltpu.SMEM((n_conds,), jnp.int32),
             pltpu.SMEM((n_sup_conds,), jnp.int32),
         )
         # (nfld fields, clusters_entered, supers_entered) -> interface
         # order (..., supers_entered, clusters_entered).
-        return out[:nfld] + (out[nfld + 1], out[nfld])
+        return unpack_carry(out[:nfld]) + (out[nfld + 1], out[nfld])
 
     intersect.returns_cull_stats = True
     intersect.has_textures = textured
@@ -2916,7 +3032,7 @@ def fused_segment_baked(
     static_argnames=("n_global_blocks", "n_clusters", "n_supers",
                      "n_tri_clusters", "n_tri_supers", "cluster_size",
                      "rows", "interpret", "rr_start", "rr_floor", "clamp",
-                     "sampler", "image_luts", "probe"))
+                     "sampler", "image_luts", "probe", "packed_attrs"))
 def fused_segment_dynculled(
     scn, clu, sup, slab, tri, tri_clu, tri_sup, tri_slab,
     salts, pix, samp, state,
@@ -2934,6 +3050,7 @@ def fused_segment_dynculled(
     sampler: str = "random",
     image_luts: tuple = (),
     probe: frozenset = frozenset(),
+    packed_attrs: bool = False,
 ):
     """One segment with the dynamic consensus-culled intersector.
 
@@ -2949,7 +3066,8 @@ def fused_segment_dynculled(
             cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
             tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters,
             sup_ref=sup_ref, n_supers=n_supers,
-            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers)
+            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers,
+            packed_attrs=packed_attrs)
         if image_luts:
             intersect.image_textures = tuple(
                 (cx, cy, cz, inv_r,
@@ -3097,7 +3215,7 @@ def fused_render_baked(
                      "n_tri_clusters", "n_tri_supers",
                      "cluster_size", "rows", "interpret", "rotate",
                      "rotate_cols", "rr_start", "rr_floor", "clamp",
-                     "sampler", "image_luts", "probe"),
+                     "sampler", "image_luts", "probe", "packed_attrs"),
 )
 def fused_render_dynculled(
     scn, clu, sup, slab,  # pack_culled_scene sphere tables (VMEM inputs)
@@ -3121,6 +3239,7 @@ def fused_render_dynculled(
     sampler: str = "random",
     image_luts: tuple = (),
     probe: frozenset = frozenset(),
+    packed_attrs: bool = False,
 ):
     """Persistent-lane render with the dynamic consensus-culled
     intersector: scene/cluster tables are runtime inputs, so new scenes
@@ -3150,7 +3269,8 @@ def fused_render_dynculled(
             cluster_size, tri_ref=tri_ref, tri_clu_ref=tri_clu_ref,
             tri_slab_ref=tri_slab_ref, n_tri_clusters=n_tri_clusters,
             sup_ref=sup_ref, n_supers=n_supers,
-            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers)
+            tri_sup_ref=tri_sup_ref, n_tri_supers=n_tri_supers,
+            packed_attrs=packed_attrs)
         if image_luts:
             intersect.image_textures = tuple(
                 (cx, cy, cz, inv_r,
