@@ -109,11 +109,12 @@ def render_samples_sharded(
             _concrete_eye, _dyn_tables, _static_image_luts)
 
         # closure-captured, replicated
-        dyn, (ngb, ncl, nsup, ntc, ntsup) = _dyn_tables(
+        dyn, (ngb, ncl, nsup, ntc, ntsup, pkd) = _dyn_tables(
             scene_arrays, clusters,
             camera_pos=_concrete_eye(view))
         dyn_static = (ngb, ncl, nsup, ntc, ntsup, clusters,
-                      _static_image_luts(scene_arrays, config.tex_lut_max))
+                      _static_image_luts(scene_arrays, config.tex_lut_max),
+                      pkd)
 
     # Per-device trace over its own pixel slab: engines consume a pixel
     # *index* array, so a tile is just a contiguous index range — the
