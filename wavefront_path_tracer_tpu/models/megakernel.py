@@ -68,12 +68,7 @@ def trace_pixels(pixel_idx, scene_arrays, cam, view, inv_proj,
         # Hit: attenuate and scatter (K3 semantics).
         p = origin + t[:, None] * direction
         state_rng = rng.stream_state(pixel_idx, frame, sample, bounce + 1)
-        strat = None
-        if config.sampler == "stratified":
-            strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
-                     + jnp.uint32(3) * bounce.astype(jnp.uint32))
-        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract,
-                          strat)
+        new_dir = scatter(state_rng, direction, normal, mat, fuzz, refract)
         hit_alive = alive & hit
         throughput = jnp.where(
             hit_alive[:, None], throughput * albedo, throughput,

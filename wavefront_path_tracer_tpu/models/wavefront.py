@@ -185,12 +185,9 @@ def trace_wavefront(pixel_idx, scene_arrays, cam, view, inv_proj,
         # whole difference between the two architectures.
         p = q_origin + t[:, None] * q_dir
         state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
-        strat = None
-        if config.sampler == "stratified":
-            strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
-                     + jnp.uint32(3) * bounce.astype(jnp.uint32))
-        new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract,
-                          strat)
+        # Scatter draws are never stratified (ops/bsdf.py:_draws — a
+        # shared stratum index across bounce dims is a biased joint).
+        new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract)
         q_throughput = jnp.where(
             hit[:, None], q_throughput * albedo, q_throughput
         )
@@ -316,17 +313,12 @@ def _k4_miss(radiance, q_slot, q_throughput, q_dir, missed, clamp=0.0):
         jnp.where(missed[:, None], sky, 0.0), mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("sampler",))
+@jax.jit
 def _k3_shade(q_pixel, frame, sample, bounce, q_origin, q_dir,
-              q_throughput, t, hit, normal, albedo, fuzz, refract, mat,
-              sampler="random"):
+              q_throughput, t, hit, normal, albedo, fuzz, refract, mat):
     p = q_origin + t[:, None] * q_dir
     state_rng = rng.stream_state(q_pixel, frame, sample, bounce + 1)
-    strat = None
-    if sampler == "stratified":
-        strat = (jnp.uint32(5) * jnp.asarray(sample, jnp.uint32)
-                 + jnp.uint32(3) * jnp.asarray(bounce, jnp.uint32))
-    new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract, strat)
+    new_dir = scatter(state_rng, q_dir, normal, mat, fuzz, refract)
     q_throughput = jnp.where(hit[:, None], q_throughput * albedo,
                              q_throughput)
     q_origin = jnp.where(hit[:, None], p, q_origin)
@@ -384,7 +376,7 @@ def render_samples_staged(scene_arrays, cam, view, inv_proj,
                 q_origin, q_dir, q_throughput = _k3_shade(
                     q_pixel, frame, sample, jnp.uint32(bounce), q_origin,
                     q_dir, q_throughput, t, hit, normal, albedo, fuzz,
-                    refract, mat, sampler=config.sampler)
+                    refract, mat)
                 jax.block_until_ready(q_dir)
             with timer.time("compact"):
                 (q_pixel, q_slot, q_origin, q_dir, q_throughput,

@@ -44,24 +44,20 @@ def schlick(cosine, eta):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, jnp.float32(5.0))
 
 
-def _draws(state, strat=None):
+def _draws(state):
     """The fixed per-event draw sequence shared by every shade path:
     3 unit-sphere draws then 1 reflectance draw (module docstring).
 
-    ``strat`` (a pre-mixed uint32 stratum index, or None) stratifies
-    the sphere sample's (cos_theta, phi) uniforms onto a 4x4 grid keyed
-    by strat mod 16.  Callers mix sample and bounce (``5*s + 3*b``) so
-    strata decorrelate across bounces and from the AA strata (which use
-    s mod 16 directly; ops/raygen.py).  Same draw count and positions,
-    so the reflectance draw and all later streams are untouched."""
+    Scatter draws are NEVER stratified: stratification is only unbiased
+    when the stratum cells tile the integration domain, and a shared
+    per-sample stratum index across bounce dimensions puts the joint
+    measure on a fixed diagonal of cells (uniform marginals, biased
+    joint — measured as a persistent 6e-3 RMSE floor vs the 1000-spp
+    golden oracle that no spp count removes).  Only the 2-D AA jitter
+    is stratified (ops/raygen.py), which IS a proper 16-cell tiling."""
     state, u1 = rng.next_f32(state)
     state, u2 = rng.next_f32(state)
     state, u3 = rng.next_f32(state)
-    if strat is not None:
-        f32 = jnp.float32
-        p = jnp.asarray(strat, jnp.uint32) & jnp.uint32(15)
-        u2 = ((p & 3).astype(f32) + u2) * f32(0.25)
-        u3 = (((p >> 2) & 3).astype(f32) + u3) * f32(0.25)
     r = jnp.power(u1, jnp.float32(0.33333))
     cos_theta = jnp.float32(1.0) - jnp.float32(2.0) * u2
     sin_theta = jnp.sqrt(jnp.maximum(jnp.float32(0.0),
@@ -76,28 +72,26 @@ def _draws(state, strat=None):
     return s, r_reflect
 
 
-def scatter_lambertian(state, direction, normal, fuzz, refract_idx,
-                       strat=None):
+def scatter_lambertian(state, direction, normal, fuzz, refract_idx):
     """Per-material kernel: Lambertian scatter (shade.wgsl:102-109)."""
-    s, _ = _draws(state, strat)
+    s, _ = _draws(state)
     d = normal + s
     degenerate = jnp.linalg.norm(d, axis=-1, keepdims=True) < 0.001
     d = jnp.where(degenerate, normal, d)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def scatter_metal(state, direction, normal, fuzz, refract_idx, strat=None):
+def scatter_metal(state, direction, normal, fuzz, refract_idx):
     """Per-material kernel: fuzzy metal (shade.wgsl:110-114)."""
-    s, _ = _draws(state, strat)
+    s, _ = _draws(state)
     d = reflect(direction, normal) + fuzz[:, None] * s
     norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
     return jnp.where(norm > 1e-12, d / jnp.maximum(norm, 1e-12), normal)
 
 
-def scatter_dielectric(state, direction, normal, fuzz, refract_idx,
-                       strat=None):
+def scatter_dielectric(state, direction, normal, fuzz, refract_idx):
     """Per-material kernel: dielectric (shade.wgsl:115-151)."""
-    _, r_reflect = _draws(state, strat)
+    _, r_reflect = _draws(state)
     uv = direction
     cos_theta = jnp.minimum(jnp.sum(normal * -uv, axis=-1), 1.0)
     outside = cos_theta >= 0.0
@@ -123,7 +117,7 @@ SCATTER_BY_MATERIAL = (scatter_lambertian, scatter_metal, scatter_dielectric)
 
 
 def scatter_partitioned(state, direction, normal, mat_type, fuzz,
-                        refract_idx, strat=None):
+                        refract_idx):
     """Per-material shading over a material-partitioned queue — the
     reference's own TODO ("per-material shade kernels", README.md:19,
     SURVEY.md §9) realized TPU-style: the caller sorts the queue by
@@ -137,7 +131,7 @@ def scatter_partitioned(state, direction, normal, mat_type, fuzz,
     """
     out = jnp.zeros_like(direction)
     for m, fn in enumerate(SCATTER_BY_MATERIAL):
-        d_m = fn(state, direction, normal, fuzz, refract_idx, strat)
+        d_m = fn(state, direction, normal, fuzz, refract_idx)
         out = jnp.where((mat_type == m)[:, None], d_m, out)
     return out
 
@@ -149,7 +143,6 @@ def scatter(
     mat_type: jnp.ndarray,   # (N,) int32
     fuzz: jnp.ndarray,       # (N,) f32
     refract_idx: jnp.ndarray,  # (N,) f32
-    strat=None,                # uint32 sample index to stratify, or None
 ):
     """Returns (N, 3) unit scattered directions.
 
@@ -158,4 +151,4 @@ def scatter(
     the *same* computation graph — and therefore bit-identical.
     """
     return scatter_partitioned(state, direction, normal, mat_type, fuzz,
-                               refract_idx, strat)
+                               refract_idx)

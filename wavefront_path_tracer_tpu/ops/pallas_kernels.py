@@ -167,8 +167,7 @@ def _intersect_tile(scn_ref, n_spheres, ox, oy, oz, dx, dy, dz):
 def _shade_tile(pix, frame, sample, bounce,
                 ox, oy, oz, dx, dy, dz,
                 best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
-                b_nx=None, b_ny=None, b_nz=None, b_is_tri=None,
-                sampler: str = "random"):
+                b_nx=None, b_ny=None, b_nz=None, b_is_tri=None):
     """Branchless RTIOW shading for a tile (the reference's K3+K4 math).
 
     Returns (p_x, p_y, p_z, ndx, ndy, ndz): hit point and unit
@@ -185,17 +184,9 @@ def _shade_tile(pix, frame, sample, bounce,
     state, u2 = _next_f32(state)
     state, u3 = _next_f32(state)
     state, r_reflect = _next_f32(state)
-    if sampler == "stratified":
-        # Same 4x4 stratum remap as ops/bsdf.py:_draws, strat mixed
-        # as 5*sample + 3*bounce (bit-matches the XLA engines).
-        f32c = jnp.float32
-        p = (_u32(5) * sample + _u32(3) * bounce) & _u32(15)
-        # Mosaic has no uint32->f32 cast; bitcast the small (<16)
-        # stratum to int32 first (same trick as _next_f32).
-        px = pltpu.bitcast(p & _u32(3), jnp.int32).astype(f32c)
-        py = pltpu.bitcast((p >> _u32(2)) & _u32(3), jnp.int32).astype(f32c)
-        u2 = (px + u2) * f32c(0.25)
-        u3 = (py + u3) * f32c(0.25)
+    # Scatter draws are never stratified (ops/bsdf.py:_draws — a shared
+    # per-sample stratum index across bounce dims biases the joint
+    # measure); only the AA jitter in _raygen_tile is.
 
     # (cos phi, sin phi, cos theta) spherical coords: unit by
     # construction — no renormalization needed.
@@ -2690,12 +2681,12 @@ def _persistent_impl(
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
             pix_c, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
-            *tri_fields, sampler=sampler)
+            *tri_fields)
         if "dbl_shade" in PROBE:  # perf probe: CSE-proof recompute
             s2 = _shade_tile(
                 pix_c, frame, sample, bounce, ox + (niter * 0.0), oy, oz,
                 dx, dy, dz, best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz,
-                b_ior, b_mt, *tri_fields, sampler=sampler)
+                b_ior, b_mt, *tri_fields)
             (p_x, p_y, p_z, ndx, ndy, ndz) = [
                 0.5 * (a + b)
                 for a, b in zip((p_x, p_y, p_z, ndx, ndy, ndz), s2)]
@@ -2897,7 +2888,7 @@ def _segment_impl(
         p_x, p_y, p_z, ndx, ndy, ndz = _shade_tile(
             pix, frame, sample, bounce, ox, oy, oz, dx, dy, dz,
             best_t, b_cx, b_cy, b_cz, b_inv_r, b_fuzz, b_ior, b_mt,
-            *tri_fields, sampler=sampler)
+            *tri_fields)
 
         if tex_fields is not None:
             a2r, a2g, a2b, t_s = tex_fields

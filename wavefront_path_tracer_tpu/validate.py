@@ -41,11 +41,27 @@ def _device_ctx(platform: str | None):
 
 
 def _oracle_meta(args) -> dict:
-    return {
+    meta = {
         "scene": args.scene, "width": args.width, "height": args.height,
         "spp": args.spp, "max_bounces": args.max_bounces,
         "engine": args.oracle_engine, "intersector": args.oracle_intersector,
     }
+    # Recorded only when non-default so the pre-existing golden
+    # artifacts' stored metadata (which predates the key) stays valid.
+    sampler = _oracle_sampler(args)
+    if sampler != "random":
+        meta["sampler"] = sampler
+    return meta
+
+
+def _oracle_sampler(args) -> str:
+    """The oracle's AA sampler.  Defaults to the TEST sampler: a
+    sampler changes the estimator, and same-stream gates need both
+    engines to integrate with the same estimator so MC noise cancels.
+    Pass --oracle-sampler random to compare a variant sampler against
+    a random-sampler oracle instead (an independent-quadrature BIAS
+    gate — it floors at the MC noise, never at the numerics floor)."""
+    return args.oracle_sampler or args.sampler
 
 
 def main(argv=None) -> int:
@@ -85,6 +101,10 @@ def main(argv=None) -> int:
                         "(cpu | tpu; default = process default)")
     p.add_argument("--oracle-engine", default="megakernel")
     p.add_argument("--oracle-intersector", default="bruteforce")
+    p.add_argument("--oracle-sampler", default=None,
+                   help="AA sampler for the oracle render (default: "
+                        "the --sampler value, so same-stream gates "
+                        "compare equal estimators)")
     p.add_argument("--oracle-platform", default=None,
                    help="device platform for the oracle render")
     p.add_argument("--oracle-spf", type=int, default=10,
@@ -150,6 +170,7 @@ def main(argv=None) -> int:
             oracle = render(scene, cc, base.replace(
                 engine=args.oracle_engine,
                 intersector=args.oracle_intersector,
+                sampler=_oracle_sampler(args),
                 samples_per_frame=min(args.oracle_spf, args.spp)))
         oracle_image = oracle.image
         print(f"oracle done in {time.time() - t0:.1f}s "
