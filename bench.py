@@ -100,6 +100,21 @@ def _roofline(engine: str, intersector: str, clusters: int, arrays,
     return pairs, pps, pps / PAIR_CEILING
 
 
+def knot_tris(scene_name: str) -> int:
+    """Triangle budget encoded in a knot scene name: 'mesh_knot' (the
+    50k default) or 'mesh_knot<N>k'.  Malformed names (a bare numeric
+    suffix, a missing count) are errors, not silent 50k fallbacks — a
+    typo'd MESH_ROWS entry must fail, not record a mislabeled row."""
+    import re
+
+    m = re.fullmatch(r"mesh_knot(?:(\d+)k)?", scene_name)
+    if m is None:
+        raise ValueError(
+            f"bad knot scene name {scene_name!r}: expected "
+            "'mesh_knot' or 'mesh_knot<N>k' (e.g. mesh_knot50k)")
+    return int(m.group(1)) * 1000 if m.group(1) else 50000
+
+
 def bench_once(scene_name: str, width: int, height: int, spp: int,
                engine: str, intersector: str, max_bounces: int = 50,
                warmup_spp: int = 1, clusters: int = 0, block_tiles: int = 32,
@@ -138,8 +153,7 @@ def bench_once(scene_name: str, width: int, height: int, spp: int,
         from examples.gen_obj import torus_knot
         from wavefront_path_tracer_tpu.scene.mesh import MeshSceneBuilder
 
-        tris = int(scene_name[len("mesh_knot"):-1]) * 1000 \
-            if scene_name.endswith("k") else 50000
+        tris = knot_tris(scene_name)
         b = MeshSceneBuilder()
         b.sphere([0.0, -1000.0, 0.0], 1000.0,
                  b.lambertian([0.5, 0.5, 0.5]))

@@ -38,6 +38,25 @@ def test_bench_once_book_scene_cpu():
     assert r["mrays_per_s"] > 0
 
 
+def test_knot_tris_parsing():
+    """Knot scene names parse strictly: the bare name means the 50k
+    stress scene, '<N>k' scales it, and malformed suffixes are errors
+    rather than silent 50k fallbacks (a typo'd row must not record a
+    mislabeled measurement)."""
+    import pytest
+
+    assert bench.knot_tris("mesh_knot") == 50000
+    assert bench.knot_tris("mesh_knot50k") == 50000
+    assert bench.knot_tris("mesh_knot1k") == 1000
+    for bad in ("mesh_knot500", "mesh_knotk", "mesh_knot5k0",
+                "mesh_knot_5k"):
+        with pytest.raises(ValueError):
+            bench.knot_tris(bad)
+    for key, scene, *_ in bench.MESH_ROWS:
+        if scene.startswith("mesh_knot"):
+            bench.knot_tris(scene)  # tracked rows must parse
+
+
 def test_mesh_rows_spec_shape():
     """Every tracked mesh row names a resolvable scene/intersector (a
     typo here silently turns the driver record's row into an error

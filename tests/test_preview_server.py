@@ -122,6 +122,33 @@ def test_input_endpoint_queues_keys(server):
     assert server.pop_keys() == ""  # drained
 
 
+def test_input_rejects_cross_site(server):
+    """/input is state-changing and unauthenticated, so cross-site
+    browser POSTs are refused: a foreign Origin fails, a DNS-name Host
+    (the rebinding shape) fails, and same-origin/header-less requests
+    pass."""
+    def post(headers):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/input", data=b"w",
+            method="POST", headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    me = f"127.0.0.1:{server.port}"
+    assert post({"Origin": "http://evil.example"}) == 403
+    assert post({"Origin": "null"}) == 403
+    assert post({"Host": "attacker.example", "Origin":
+                 "http://attacker.example"}) == 403  # DNS rebinding
+    assert post({"Host": "attacker.example"}) == 403
+    assert server.pop_keys() == ""  # nothing leaked through
+    assert post({"Origin": f"http://{me}"}) == 200  # the viewer page
+    assert post({}) == 200                          # curl-style
+    assert server.pop_keys() == "ww"
+
+
 def test_input_backlog_is_bounded(server):
     server.push_keys("w" * 1000)
     assert len(server.pop_keys()) <= 256

@@ -209,7 +209,9 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
                         session.set_vfov(
                             min(170.0, session.camera.vfov_deg + 2.0))
                 elif c == "p" and out_png and last_result is not None:
-                    write_png(out_png, last_result.image)
+                    write_png(out_png, display_transform(
+                        last_result.accumulated,
+                        max(1, last_result.samples), tonemap))
                     print(f"\nwrote {out_png}", file=stream)
 
             if session.progress >= 1.0 and not moved \
@@ -243,7 +245,7 @@ def interactive_loop(session: InteractiveSession, out_png: str | None = None,
             if out_png:
                 samples = max(1, result.samples)
                 write_png(out_png, display_transform(
-                    result.accumulated, samples))
+                    result.accumulated, samples, tonemap))
             if publish is not None:
                 publish(display_transform(result.accumulated,
                                           max(1, result.samples), tonemap),

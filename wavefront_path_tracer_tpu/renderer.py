@@ -38,6 +38,12 @@ def prepare_scene(scene: Scene, config: RenderConfig, triangles=None) -> dict:
     The BVH build reorders spheres in place, exactly like the reference's
     ``build_bvh_tree(&mut spheres)`` (path_tracer.rs:117-118).
     """
+    # Every render path (Renderer, bench.py workers, exp/ probes,
+    # validate.py) stages its scene through here, and by now the
+    # platform choice is final — attach the persistent compile cache so
+    # non-Renderer drivers also get warm TPU compiles (TPU-only gate
+    # inside; see utils/compile_cache.py).
+    compile_cache.activate()
     if config.intersector == "bvh":
         from wavefront_path_tracer_tpu.ops.bvh_traverse import STACK_DEPTH
         from wavefront_path_tracer_tpu.scene.bvh import build_bvh, bvh_depth

@@ -144,9 +144,40 @@ class PreviewServer:
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
+            def _input_allowed(self) -> bool:
+                """Reject cross-site POSTs to the state-changing /input
+                endpoint.  A malicious page in another browser tab can
+                fire a no-preflight POST at 127.0.0.1 despite the
+                loopback bind, so: (a) if the browser sent an Origin,
+                it must match the Host the request arrived on (our own
+                viewer page); (b) the Host must be 'localhost' or an IP
+                literal — a DNS name means DNS rebinding, where (a)
+                alone would pass.  Header-less clients (curl) pass."""
+                host = (self.headers.get("Host") or "").strip()
+                hostname = host.rsplit(":", 1)[0] if not host.startswith("[") \
+                    else host[1:host.index("]")] if "]" in host else host
+                if hostname and hostname != "localhost":
+                    import ipaddress
+
+                    try:
+                        ipaddress.ip_address(hostname)
+                    except ValueError:
+                        return False
+                origin = self.headers.get("Origin")
+                if origin:
+                    # The viewer page is same-origin (served by us, on
+                    # an explicit port), so its POSTs carry exactly
+                    # http://<Host>.  "null" and foreign origins fail.
+                    if origin.split("://", 1)[-1] != host:
+                        return False
+                return True
+
             def do_POST(self):
                 path = self.path.split("?")[0]
                 if path == "/input":
+                    if not self._input_allowed():
+                        self._send(403, "text/plain", b"forbidden\n")
+                        return
                     n = int(self.headers.get("Content-Length") or 0)
                     body = self.rfile.read(min(n, 4096))
                     server.push_keys(body.decode("utf-8", "replace"))

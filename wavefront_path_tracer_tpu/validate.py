@@ -30,14 +30,41 @@ import sys
 import time
 
 
+@contextlib.contextmanager
 def _device_ctx(platform: str | None):
     """Pin subsequent jits to the first device of ``platform`` (the
-    whole-process jax_platforms config cannot be switched per render)."""
+    whole-process jax_platforms config cannot be switched per render).
+
+    When that pins a CPU device inside a TPU-default process, the
+    persistent compile cache is suspended for the duration:
+    ``compile_cache.activate()`` gates on the *default* backend only,
+    and persisted XLA:CPU executables are the native-crash class the
+    cache module exists to avoid (see utils/compile_cache.py).
+    """
     if platform is None:
-        return contextlib.nullcontext()
+        yield
+        return
     import jax
 
-    return jax.default_device(jax.devices(platform)[0])
+    dev = jax.devices(platform)[0]
+    if dev.platform == "cpu" and jax.default_backend() != "cpu":
+        # Make the once-per-process activation decision NOW (from the
+        # real default backend) so a prepare_scene() inside this scope
+        # cannot re-attach the cache mid-suspension — and so ``prev``
+        # restores the attached dir for later TPU renders.
+        from wavefront_path_tracer_tpu.utils import compile_cache
+
+        compile_cache.activate()
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            with jax.default_device(dev):
+                yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+    else:
+        with jax.default_device(dev):
+            yield
 
 
 def _oracle_meta(args) -> dict:
